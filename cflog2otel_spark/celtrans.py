@@ -1,0 +1,352 @@
+"""CEL -> Spark SQL translator.
+
+The reference evaluates CEL (Common Expression Language) programs per log
+line (/root/reference/cel.go:86-109, :239-292). We instead translate the CEL
+subset its configs exercise (SURVEY.md §2.3 E-table) into Spark SQL
+expression strings at config-load time, so evaluation happens inside
+Catalyst/whole-stage-codegen — vectorized, JVM-side, no per-row Python.
+
+Supported surface (superset of everything in /root/reference/testdata/*.jsonnet
+and README examples):
+  - member access on the four CEL namespaces (log, cloudfront, bucket, object)
+  - literals: int, float, string ('..' or ".."), true/false/null
+  - unary ! and -
+  - binary: == != < <= > >= && || + - * / %  and `in` is NOT supported
+  - ternary cond ? a : b
+  - methods: .contains(s) .startsWith(s) .endsWith(s) .matches(re)
+  - functions: double(x) int(x) string(x) size(x) bool? (no)
+
+Null semantics (pinned spec, SURVEY.md §2.3): SQL three-valued logic; a
+filter evaluating to NULL excludes the row, a NULL attribute value drops the
+attribute from the set (handled by the aggregation layer).
+
+Load-time validation mirrors the reference's compile-and-probe-eval
+(cel.go:222-237): the translated expression is analyzed against an empty
+DataFrame of the parsed-log schema and its result type checked.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .schemas import CEL_CONTEXT_FIELDS, CEL_LOG_FIELDS
+
+
+class CELTranslationError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<int>\d+)
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(src: str) -> list[Tok]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise CELTranslationError(f"cannot tokenize CEL at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    out.append(Tok("eof", ""))
+    return out
+
+
+# ------------------------------------------------------------------ parser
+# Pratt parser emitting (sql_text, static_type) pairs. static_type is a best
+# effort from {'int','double','string','bool','timestamp',None}.
+
+_METHODS = {
+    "contains": ("contains({x}, {a})", "bool"),
+    "startsWith": ("startswith({x}, {a})", "bool"),
+    "endsWith": ("endswith({x}, {a})", "bool"),
+    "matches": ("regexp_like({x}, {a})", "bool"),
+}
+
+_FUNCS = {
+    "double": ("CAST({a} AS DOUBLE)", "double"),
+    "int": ("CAST({a} AS BIGINT)", "int"),
+    "string": ("CAST({a} AS STRING)", "string"),
+    "size": ("length({a})", "int"),
+    "timestamp": ("to_timestamp({a})", "timestamp"),
+}
+
+_CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+_COLUMN_TYPES: dict[str, str] = {}
+
+
+def _init_column_types() -> None:
+    if _COLUMN_TYPES:
+        return
+    from .schemas import CF_FIELDS
+
+    for f in CF_FIELDS:
+        _COLUMN_TYPES[f.col] = f.dtype if f.dtype != "long" else "int"
+    _COLUMN_TYPES.update(
+        {
+            "type": "string",
+            "timestamp": "timestamp",
+            "sc_status_category": "string",
+            "distribution_id": "string",
+            "datehour": "string",
+            "bucket_name": "string",
+            "bucket_arn": "string",
+            "bucket_owner_principal_id": "string",
+            "source": "string",
+            "object_size": "int",
+            "object_etag": "string",
+            "object_version_id": "string",
+            "object_sequencer": "string",
+        }
+    )
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], src: str):
+        self.toks = toks
+        self.i = 0
+        self.src = src
+        _init_column_types()
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise CELTranslationError(f"expected {text!r}, got {t.text!r} in {self.src!r}")
+
+    # precedence climbing: ternary < || < && < cmp < add < mul < unary < postfix
+    def parse(self) -> tuple[str, str | None]:
+        e = self.ternary()
+        if self.peek().kind != "eof":
+            raise CELTranslationError(f"trailing input {self.peek().text!r} in {self.src!r}")
+        return e
+
+    def ternary(self) -> tuple[str, str | None]:
+        cond, ctype = self.or_()
+        if self.peek().text == "?":
+            self.next()
+            a, at = self.ternary()
+            self.expect(":")
+            b, bt = self.ternary()
+            return (f"(CASE WHEN {cond} THEN {a} ELSE {b} END)", at or bt)
+        return cond, ctype
+
+    def or_(self) -> tuple[str, str | None]:
+        left, lt = self.and_()
+        while self.peek().text == "||":
+            self.next()
+            right, _ = self.and_()
+            left, lt = f"({left} OR {right})", "bool"
+        return left, lt
+
+    def and_(self) -> tuple[str, str | None]:
+        left, lt = self.cmp()
+        while self.peek().text == "&&":
+            self.next()
+            right, _ = self.cmp()
+            left, lt = f"({left} AND {right})", "bool"
+        return left, lt
+
+    def cmp(self) -> tuple[str, str | None]:
+        left, lt = self.add()
+        if self.peek().text in _CMP:
+            op = self.next().text
+            right, _ = self.add()
+            return f"({left} {_CMP[op]} {right})", "bool"
+        return left, lt
+
+    def add(self) -> tuple[str, str | None]:
+        left, lt = self.mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            right, rt = self.mul()
+            if op == "+" and (lt == "string" or rt == "string"):
+                left, lt = f"concat({left}, {right})", "string"
+            else:
+                left, lt = f"({left} {op} {right})", _num(lt, rt)
+        return left, lt
+
+    def mul(self) -> tuple[str, str | None]:
+        left, lt = self.unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            right, rt = self.unary()
+            if op == "/" and lt == "int" and rt == "int":
+                # CEL integer division truncates; Spark `/` is always double
+                left, lt = f"({left} DIV {right})", "int"
+            elif op == "%":
+                left, lt = f"({left} % {right})", "int"
+            else:
+                left, lt = f"({left} {op} {right})", _num(lt, rt)
+        return left, lt
+
+    def unary(self) -> tuple[str, str | None]:
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            e, _ = self.unary()
+            return f"(NOT {e})", "bool"
+        if t.text == "-":
+            self.next()
+            e, et = self.unary()
+            return f"(- {e})", et
+        return self.postfix()
+
+    def postfix(self) -> tuple[str, str | None]:
+        t = self.next()
+        if t.text == "(":
+            e = self.ternary()
+            self.expect(")")
+            return self._methods(e)
+        if t.kind == "int":
+            return self._methods((t.text + "L", "int"))
+        if t.kind == "float":
+            return self._methods((f"CAST({t.text} AS DOUBLE)", "double"))
+        if t.kind == "string":
+            return self._methods((_sql_str(_unescape(t.text)), "string"))
+        if t.kind == "ident":
+            if t.text == "true":
+                return self._methods(("true", "bool"))
+            if t.text == "false":
+                return self._methods(("false", "bool"))
+            if t.text == "null":
+                return ("NULL", None)
+            if t.text in _FUNCS and self.peek().text == "(":
+                self.next()
+                a, _ = self.ternary()
+                self.expect(")")
+                tmpl, rt = _FUNCS[t.text]
+                return self._methods((tmpl.format(a=a), rt))
+            return self._path(t.text)
+        raise CELTranslationError(f"unexpected token {t.text!r} in {self.src!r}")
+
+    def _path(self, first: str) -> tuple[str, str | None]:
+        """Resolve a dotted variable path, then apply trailing methods."""
+        segs = [first]
+        while self.peek().text == ".":
+            # lookahead: ident then maybe '(' -> method call terminates the path
+            save = self.i
+            self.next()
+            seg = self.next()
+            if seg.kind != "ident":
+                raise CELTranslationError(f"bad member access in {self.src!r}")
+            if self.peek().text == "(":
+                self.i = save  # leave for _methods
+                break
+            segs.append(seg.text)
+        col = _resolve(segs, self.src)
+        ctype = _COLUMN_TYPES.get(col)
+        return self._methods((col, ctype))
+
+    def _methods(self, e: tuple[str, str | None]) -> tuple[str, str | None]:
+        sql, stype = e
+        while self.peek().text == ".":
+            self.next()
+            name = self.next()
+            if name.kind != "ident" or name.text not in _METHODS:
+                raise CELTranslationError(
+                    f"unsupported method .{name.text} in {self.src!r}"
+                )
+            self.expect("(")
+            a, _ = self.ternary()
+            self.expect(")")
+            tmpl, rt = _METHODS[name.text]
+            sql, stype = tmpl.format(x=sql, a=a), rt
+        return sql, stype
+
+
+def _num(lt: str | None, rt: str | None) -> str | None:
+    if lt == "double" or rt == "double":
+        return "double"
+    if lt == "int" and rt == "int":
+        return "int"
+    return None
+
+
+def _unescape(lit: str) -> str:
+    body = lit[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(m.group(1), m.group(1)), body)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _resolve(segs: list[str], src: str) -> str:
+    path = ".".join(segs)
+    if segs[0] == "log":
+        if len(segs) != 2 or segs[1] not in CEL_LOG_FIELDS:
+            raise CELTranslationError(f"unknown log field {path!r} in {src!r}")
+        return CEL_LOG_FIELDS[segs[1]]
+    if path in CEL_CONTEXT_FIELDS:
+        return CEL_CONTEXT_FIELDS[path]
+    raise CELTranslationError(f"unknown CEL variable {path!r} in {src!r}")
+
+
+def translate(cel_src: str) -> str:
+    """Translate a CEL expression string into a Spark SQL expression string."""
+    sql, _ = _Parser(_tokenize(cel_src), cel_src).parse()
+    return sql
+
+
+def translate_typed(cel_src: str) -> tuple[str, str | None]:
+    return _Parser(_tokenize(cel_src), cel_src).parse()
+
+
+def validate_against_schema(spark, sql_exprs: dict[str, str]) -> dict[str, str]:
+    """Analyze translated expressions against an empty parsed-log DataFrame,
+    mirroring the reference's load-time probe eval (cel.go:222-237).
+
+    Returns {name: spark_type_simpleString}; raises CELTranslationError on
+    analysis failure.
+    """
+    from .schemas import parsed_log_schema
+
+    empty = spark.createDataFrame([], parsed_log_schema())
+    empty = empty.selectExpr(
+        "*",
+        "CAST(NULL AS STRING) AS bucket_name",
+        "CAST(NULL AS STRING) AS bucket_arn",
+        "CAST(NULL AS STRING) AS bucket_owner_principal_id",
+        "CAST(NULL AS BIGINT) AS object_size",
+        "CAST(NULL AS STRING) AS object_etag",
+        "CAST(NULL AS STRING) AS object_version_id",
+        "CAST(NULL AS STRING) AS object_sequencer",
+    )
+    out: dict[str, str] = {}
+    for name, sql in sql_exprs.items():
+        try:
+            probe = empty.selectExpr(f"({sql}) AS probe")
+        except Exception as exc:  # AnalysisException
+            raise CELTranslationError(f"expression {name!r} fails analysis: {exc}") from exc
+        out[name] = probe.schema[0].dataType.simpleString()
+    return out

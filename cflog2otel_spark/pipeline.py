@@ -1,0 +1,124 @@
+"""End-to-end pipeline: read -> parse -> enrich -> route -> aggregate -> sinks.
+
+The reference interleaves all metric configs in one pass over rows
+(/root/reference/aggregation.go:50-73); metrics never interact, so we branch
+N independent aggregations off ONE cached parse+enrich scan (SURVEY.md §3.1).
+At 100 TB the cached intermediate is the pruned projection (only columns any
+metric references plus payload), serialized columnar in memory-and-disk; each
+branch then does a single shuffle on its own (window, attrs) keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .config import Config
+from .operators.aggregate import aggregate_metric
+from .operators.enrich import enrich
+from .operators.parse import decode_and_parse
+
+
+@dataclass
+class PipelineResult:
+    parsed: DataFrame
+    sinks: dict[str, DataFrame]  # metric name -> data-point DataFrame
+    metric_index: dict[str, int] = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.parsed.unpersist()
+
+
+def _referenced_columns(cfg: Config) -> set[str]:
+    """Column pruning for the cache: parse emits all fields, but the cached
+    projection keeps only what some expression references (SURVEY.md §4
+    'column pruning — worth exploiting explicitly').
+    """
+    import re
+
+    sqls: list[str] = [a.value.sql for a in cfg.resource_attributes]
+    for m in cfg.metrics:
+        sqls += [a.value.sql for a in m.attributes]
+        if m.filter is not None:
+            sqls.append(m.filter.sql)
+        if m.value is not None:
+            sqls.append(m.value.sql)
+    idents = set()
+    for s in sqls:
+        idents |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", s))
+    return idents
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: Config,
+    tokenized: DataFrame,
+    strict: bool = False,
+    cache: str = "memory_and_disk",
+    keep_payload: bool = True,
+    event_time: str | None = None,
+    repartition_by_source: bool = False,
+) -> PipelineResult:
+    """Run every metric config over a tokenized-sequence DataFrame.
+
+    `event_time` + cfg.backfill enable the per-line lateness gate
+    (app.go:354-361): rows with event_time - timestamp > tolerance drop.
+    `repartition_by_source` pre-shuffles on (source, hour(ts)) to align with
+    an Iceberg (source, hours(ts)) layout so downstream window aggregations
+    mostly combine map-side.
+    """
+    cfg.validate_expressions(spark)
+
+    parsed = decode_and_parse(tokenized, strict=strict, keep_payload=keep_payload)
+    parsed = enrich(parsed)
+
+    if cfg.backfill.enabled and event_time is not None:
+        tol = cfg.backfill.time_tolerance_seconds
+        parsed = parsed.filter(
+            F.col("timestamp").isNotNull()
+            & (
+                F.unix_timestamp(F.lit(event_time).cast("timestamp"))
+                - F.unix_timestamp(F.col("timestamp"))
+                <= F.lit(tol)
+            )
+        )
+
+    needed = _referenced_columns(cfg)
+    payload = ["doc_id", "tokens", "n_tok", "source"] if keep_payload else []
+    keep = [
+        c
+        for c in parsed.columns
+        if c in needed or c in payload or c == "timestamp"
+    ]
+    parsed = parsed.select(*dict.fromkeys(keep))
+
+    if repartition_by_source:
+        parsed = parsed.repartition("source", F.hour("timestamp"))
+
+    if cache == "memory_and_disk":
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    elif cache == "disk":
+        parsed = parsed.persist(StorageLevel.DISK_ONLY)
+
+    sinks: dict[str, DataFrame] = {}
+    index: dict[str, int] = {}
+    for i, m in enumerate(cfg.metrics):
+        sinks[m.name] = aggregate_metric(parsed, cfg, m)
+        index[m.name] = i
+    return PipelineResult(parsed=parsed, sinks=sinks, metric_index=index)
+
+
+def write_sinks(
+    result: PipelineResult,
+    out_dir: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Per-metric sink writers (reference sink: OTLP export per resource,
+    app.go:230-239 — ours is a columnar table per metric config)."""
+    for name, df in result.sinks.items():
+        safe = name.replace("/", "_")
+        (df.write.format(fmt).mode(mode).save(f"{out_dir}/{safe}"))

@@ -1,0 +1,83 @@
+"""CEL->SQL translator unit tests (no Spark needed for pure translation)."""
+
+import pytest
+
+from cflog2otel_spark.celtrans import CELTranslationError, translate
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        ("log.scStatusCategory", "sc_status_category"),
+        ("cloudfront.distributionId", "distribution_id"),
+        ('log.scStatusCategory == "5xx"', "(sc_status_category = '5xx')"),
+        (
+            '!log.xHostHeader.contains("cloudfront.net")',
+            "(NOT contains(x_host_header, 'cloudfront.net'))",
+        ),
+        (
+            'log.csUriStem.startsWith("/index.html")',
+            "startswith(cs_uri_stem, '/index.html')",
+        ),
+        ("double(log.scBytes)", "CAST(sc_bytes AS DOUBLE)"),
+        (
+            "log.timeTaken * 1000.0",
+            "(time_taken * CAST(1000.0 AS DOUBLE))",
+        ),
+        ("log.scStatus >= 500 && log.scStatus < 600",
+         "((sc_status >= 500L) AND (sc_status < 600L))"),
+        ("log.scStatus == 200 || log.scStatus == 304",
+         "((sc_status = 200L) OR (sc_status = 304L))"),
+        ('log.csMethod.endsWith("T")', "endswith(cs_method, 'T')"),
+        ('log.csUriStem.matches("^/api/.*")', "regexp_like(cs_uri_stem, '^/api/.*')"),
+        ("size(log.csUriStem)", "length(cs_uri_stem)"),
+        ("log.scBytes + log.csBytes", "(sc_bytes + cs_bytes)"),
+        ("log.scBytes / 2", "(sc_bytes DIV 2L)"),  # CEL int division truncates
+        ("log.timeTaken / 2.0", "(time_taken / CAST(2.0 AS DOUBLE))"),
+        ("string(log.scStatus)", "CAST(sc_status AS STRING)"),
+        ('log.scStatus == 200 ? "ok" : "bad"',
+         "(CASE WHEN (sc_status = 200L) THEN 'ok' ELSE 'bad' END)"),
+        ("-log.timeTaken", "(- time_taken)"),
+        ('"pre" + log.csMethod', "concat('pre', cs_method)"),
+        ("object.key", "source"),
+        ("bucket.name", "bucket_name"),
+    ],
+)
+def test_translate(cel, sql):
+    assert translate(cel) == sql
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "log.unknownField",
+        "notavar.x",
+        "log.scStatus ==",
+        'log.csUriStem.explode("x")',
+        "log.scStatus @ 3",
+    ],
+)
+def test_translate_errors(bad):
+    with pytest.raises(CELTranslationError):
+        translate(bad)
+
+
+def test_string_escaping():
+    assert translate("log.csUriStem == \"it's\"") == "(cs_uri_stem = 'it\\'s')"
+
+
+def test_validate_against_schema(spark):
+    from cflog2otel_spark.celtrans import validate_against_schema
+
+    types = validate_against_schema(
+        spark,
+        {
+            "f": translate('log.scStatusCategory == "5xx"'),
+            "v": translate("double(log.scBytes)"),
+            "a": translate("log.xHostHeader"),
+        },
+    )
+    assert types == {"f": "boolean", "v": "double", "a": "string"}
+
+    with pytest.raises(CELTranslationError):
+        validate_against_schema(spark, {"bad": "nonexistent_col + 1"})
