@@ -1,0 +1,165 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows": ..., "seq_per_sec": ...}
+
+The flagship `pipeline_multi_metric` is the full engine path: read tokenized
+parquet -> Arrow decode -> parse -> enrich -> fan-out to 4 metric sinks ->
+parquet sink writes. Its input corpus is deterministic (generator seed 42,
+size scaled by sf) and cached in /tmp across runs, so two-parallelism
+scaling runs (scripts/scaling_run.py) see byte-identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cflog2otel_spark.config import Config
+from cflog2otel_spark.pipeline import run_pipeline, write_sinks
+from cflog2otel_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", str(int(20_000_000 * SF))))
+CORPUS_PATH = os.environ.get(
+    "BENCH_CORPUS_PATH", f"/tmp/cflog_corpus_sf{SF}_{CORPUS_ROWS}"
+)
+
+MULTI_CFG = {
+    "resource_attributes": [
+        {"key": "service.name", "value": "Amazon CloudFront"},
+        {"key": "aws.cloudfront.distribution_id", "value": {"expr": "cloudfront.distributionId"}},
+    ],
+    "scope": {"name": "bench"},
+    "metrics": [
+        {
+            "name": "requests",
+            "type": "Count",
+            "attributes": [{"key": "http.status_code", "value": {"expr": "log.scStatusCategory"}}],
+        },
+        {
+            "name": "bytes",
+            "type": "Sum",
+            "unit": "Byte",
+            "value": {"expr": "double(log.scBytes)"},
+            "attributes": [{"key": "http.status_code", "value": {"expr": "log.scStatusCategory"}}],
+            "is_monotonic": True,
+        },
+        {
+            "name": "request_time",
+            "type": "Histogram",
+            "unit": "ms",
+            "value": {"expr": "log.timeTaken * 1000.0"},
+        },
+        {
+            "name": "by_origin",
+            "type": "Count",
+            "attributes": [
+                {
+                    "key": "origin",
+                    "value": {
+                        "switch": [
+                            {"case": {"expr": 'log.csUriStem.startsWith("/api/")'}, "value": "app"},
+                            {"case": {"expr": 'log.csUriStem == "/favicon.ico"'}, "value": "static"},
+                            {"default": "S3"},
+                        ]
+                    },
+                },
+            ],
+            "filter": {"expr": "log.scStatus >= 200"},
+        },
+    ],
+}
+
+
+def ensure_corpus(spark) -> str:
+    marker = f"{CORPUS_PATH}/_SUCCESS_BENCH"
+    if not os.path.exists(marker):
+        from cflog2otel_spark.sources.generator import generate_tokenized
+
+        if os.path.exists(CORPUS_PATH):
+            shutil.rmtree(CORPUS_PATH)
+        df = generate_tokenized(spark, CORPUS_ROWS, seed=42, partitions=max(CPUS * 2, 8))
+        df.write.mode("overwrite").parquet(CORPUS_PATH)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return CORPUS_PATH
+
+
+def main() -> None:
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus_path = ensure_corpus(spark)
+    corpus = spark.read.parquet(corpus_path)
+    n_rows = corpus.count()
+
+    # flagship: full pipeline, 4 sinks, parquet writes
+    cfg = Config.from_json(MULTI_CFG)
+    t0 = time.time()
+    result = run_pipeline(spark, cfg, corpus, keep_payload=False)
+    write_sinks(result, "/tmp/bench_sinks")
+    dt = time.time() - t0
+    result.unpersist()
+    timings["pipeline_multi_metric"] = round(dt, 3)
+    extras["seq_per_sec"] = round(n_rows / dt, 1)
+
+    # driver-table queries (same entries the correctness gate runs)
+    from cflog2otel_spark.plans.driver_queries import QUERIES
+
+    for name in [
+        "cf_count_by_status",
+        "cf_histogram",
+        "cf_sum_bytes",
+        "events_sum_cents",
+        "docs_token_stats",
+        "docs_fingerprint",
+        "emb_topk",
+        "docs_exact_dedup",
+    ]:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # near-dup / LSH ops over documents
+    from cflog2otel_spark.operators.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
+    timings["docs_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
+    timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cflog2otel_spark e2e pipeline + ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "corpus_rows": n_rows,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale-first designs:
+  - exact: hash-groupBy on a text digest — one shuffle, min(doc_id) wins.
+  - minhash + LSH: shingle -> k minhashes -> b bands -> band-bucket join.
+    Candidate pairs only form inside identical band buckets, so the join is
+    an equi-join on (band, bucket-hash) — no O(n^2) crossing. Hot buckets
+    (boilerplate shingles) are the skew risk: cap bucket width with a
+    count filter before the self-join.
+  - simhash: 64-bit weighted-projection signature, near-dups = hamming
+    distance <= t via banded equality on 4 x 16-bit chunks.
+  - n-gram jaccard: exact verify step for LSH candidates.
+  - embedding cosine near-dup: see similarity.py (LSH-bucketed).
+
+MinHash math uses universal hashing ((a*x + b) mod p) with fixed seeds so
+results are deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (x mod p) * a stays under 2^62, so the universal
+# hash never overflows int64 (ANSI mode would raise on overflow)
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text. One hash-shuffle on the digest
+    (never on the full text bytes — digest first, 16 bytes per row)."""
+    digest = F.md5(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), digest.alias("_d"))
+        .groupBy("_d")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_d")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), JVM-side via split+transform."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.array_distinct(F.when(count > 0, sh).otherwise(F.array()))
+
+
+# fixed 64-bit odd multipliers/offsets for k minhash functions (seeded, public
+# universal-hash construction; deterministic across runs)
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P - 1) | 1, rng.randrange(0, MERSENNE_P - 1)) for _ in range(k)]
+
+
+def minhash_signature(shingle_arr: Column, k: int = 32, seed: int = 42) -> Column:
+    """k-wide MinHash signature over a shingle array. Base hash is xxhash64
+    (stable in Spark); permutations are (a*x+b) mod p."""
+    base = F.transform(shingle_arr, lambda s: F.abs(F.xxhash64(s)))
+    sigs = []
+    for a, b in _hash_params(k, seed):
+        sigs.append(
+            F.array_min(
+                F.transform(base, lambda x: (x % MERSENNE_P * a + b) % MERSENNE_P)
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows/band bucket join: (band_id, hash(band rows)) equi-join; buckets
+    wider than `max_bucket` are dropped (boilerplate guard — the skew cap
+    that keeps a 100 TB self-join from exploding on one hot bucket).
+    Returns (a, b, jaccard_est) with a < b, deduped across bands.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed)
+    with_sig = docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig"))
+
+    band_entries = with_sig.select(
+        "a_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("a_id", "_sig", "bb.band", "bb.bucket")
+
+    w = Window.partitionBy("band", "bucket")
+    band_entries = band_entries.withColumn("_bw", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bw") <= max_bucket
+    )
+
+    left = band_entries.select("band", "bucket", F.col("a_id"), F.col("_sig").alias("_siga"))
+    right = band_entries.select(
+        "band", "bucket", F.col("a_id").alias("b_id"), F.col("_sig").alias("_sigb")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.lit(float(k))
+            ).alias("jaccard_est"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.first("jaccard_est").alias("jaccard_est"))
+    )
+    return pairs.withColumnRenamed("a_id", "a").withColumnRenamed("b_id", "b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for candidate pairs
+    (the verify stage after LSH). candidates: (a, b)."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    a = sh.withColumnRenamed(id_col, "a").withColumnRenamed("_sh", "_sha")
+    b = sh.withColumnRenamed(id_col, "b").withColumnRenamed("_sh", "_shb")
+    joined = candidates.select("a", "b").join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return joined.select(
+        "a", "b", F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard")
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles: per-bit majority vote of shingle
+    hashes, fully JVM-side (aggregate over bit projections)."""
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # F.shiftright/shiftleft only take literal ints in the Python API;
+    # call_function routes Column shift amounts to the SQL builtins.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda bit: F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, bit.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, bit: F.when(
+                v > 0,
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), bit.cast("int")),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    banding (any pair within distance 3 shares at least one exact 16-bit
+    chunk — pigeonhole), then exact popcount verify."""
+    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+    chunks = sh.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "_sh", "bc.band", "bc.chunk")
+    w = Window.partitionBy("band", "chunk")
+    chunks = chunks.withColumn("_bw", F.count(F.lit(1)).over(w)).filter(F.col("_bw") <= max_bucket)
+    a = chunks.select("band", "chunk", F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = chunks.select("band", "chunk", F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

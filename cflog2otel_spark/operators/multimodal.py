@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake or NotImplementedError) — but everything Spark-side is
+real and tested: schemas, batch iteration shape, partition-size control,
+and the metadata contract. Swapping the stub for PIL/torchaudio is a
+one-function change on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_entropy", T.DoubleType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+REAL_DECODERS_AVAILABLE = False  # flips when PIL / torchaudio are installed
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:
+    pass
+
+
+def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic fake decode: a 16-dim feature from the byte content.
+    Replace with a real codec (PIL/av/torchaudio) on a cluster that has one.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(16, dtype=np.float32)
+    chunks = np.array_split(arr.astype(np.float64), 16)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of binary payloads ->
+    per-item features. The batch iterator shape (many small pdfs) is what a
+    real GPU decode stage consumes; repartition upstream so one partition's
+    payload bytes fit executor memory."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ents = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload)
+                feats.append(_decode_stub(b, kind).tolist())
+                counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+                p = counts[counts > 0] / max(len(b), 1)
+                ents.append(float(-(p * np.log2(p)).sum()) if len(b) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda x: len(bytes(x))).astype("int64"),
+                    "byte_entropy": ents,
+                    "feature": feats,
+                }
+            )
+
+    cols = ["media_id", "kind", "payload"]
+    return media.select(*cols).mapInPandas(fe, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, duration) into frame
+    timestamps natively (sequence + explode) — the expensive decode of each
+    frame is the stubbed stage; the planning shuffle/explode is real."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .filter(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(128 + (i % 64)))
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                5000 if kind == "video" else (2000 if kind == "audio" else None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -111,23 +111,20 @@ def parse_cf_lines(
         pos.setdefault(name, i)
 
     parts = F.split(F.col(line_col), "\t", -1)
-    out = df.withColumn("_parts", parts)
-
-    arity_bad = F.size(F.col("_parts")) > F.lit(len(field_order))
     if strict:
-        # more values than header fields is a hard error (:305-307)
-        out = out.withColumn(
-            "_arity_ok",
-            F.when(
-                arity_bad,
-                F.raise_error(
-                    F.concat(
-                        F.lit("csv line has more fields than expected: "),
-                        F.col(line_col),
-                    )
-                ),
-            ).otherwise(F.lit(True)),
-        )
+        # more values than header fields is a hard error (:305-307); the
+        # guard must stay IN the dataflow (a side column would be pruned
+        # by Catalyst), so the parts array itself is gated.
+        parts = F.when(
+            F.size(parts) > F.lit(len(field_order)),
+            F.raise_error(
+                F.concat(
+                    F.lit("log line has more fields than expected: "),
+                    F.col(line_col),
+                )
+            ).cast("array<string>"),
+        ).otherwise(parts)
+    out = df.withColumn("_parts", parts)
 
     cols: list[Column] = []
     for f in CF_FIELDS:
@@ -140,8 +137,6 @@ def parse_cf_lines(
 
     keep = [c for c in df.columns if c != line_col or not drop_line]
     out = out.select(*keep, *cols)
-    if strict and "_arity_ok" in df.columns:
-        pass
     return _derive(out, strict=strict)
 
 

@@ -1,0 +1,537 @@
+"""Driver-contract queries: each entry runs a real engine path over the
+driver's parquet tables and has an ANSI-SQL oracle twin DuckDB can execute
+on the same tables (see /root/repo/__spark_entry__.py).
+
+The CF-pipeline queries deterministically render a CloudFront log line per
+`events` row (pure column expressions), tokenize it (encode UDF), then run
+the FULL engine: decode UDF -> positional parse -> enrich -> tumbling-window
+aggregation. The oracle computes the same aggregate directly from `events`
+— any parse/derivation/window bug breaks the match, so the round trip IS
+the correctness gate for operators P1-P9, S8, E1-E5, A1-A10 (SURVEY.md §2).
+
+Exactness rules for cross-engine equality:
+  - measures derive from integers (event_id arithmetic or cents =
+    round(value*100)) so double sums are order-independent and exact
+  - timestamps truncate to seconds before windowing (the CF line format
+    has second resolution)
+  - ratios/cosines compute in double with identical operand order, then
+    round(6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Config
+from ..operators.aggregate import aggregate_metric
+from ..operators.enrich import enrich
+from ..operators.parse import decode_and_parse, encode_tokens_udf
+
+# ---------------------------------------------------------------------------
+# deterministic events -> CF log line mapping (mirrored in the oracle SQL)
+# ---------------------------------------------------------------------------
+
+# status: event_id % 20 -> 12x 200 | 301 | 302 | 3x 404 | 3x 502
+_STATUS_SQL_SPARK = (
+    "CASE WHEN event_id % 20 < 12 THEN 200 WHEN event_id % 20 < 13 THEN 301 "
+    "WHEN event_id % 20 < 14 THEN 302 WHEN event_id % 20 < 17 THEN 404 ELSE 502 END"
+)
+_CATEGORY_SQL_DUCK = (
+    "CASE WHEN event_id % 20 < 12 THEN '2xx' WHEN event_id % 20 < 14 THEN '3xx' "
+    "WHEN event_id % 20 < 17 THEN '4xx' ELSE '5xx' END"
+)
+_URI_SQL = (
+    "CASE event_type WHEN 'click' THEN '/index.html' WHEN 'view' THEN '/' "
+    "WHEN 'purchase' THEN '/api/v1/checkout' WHEN 'signup' THEN '/api/v1/users' "
+    "ELSE '/favicon.ico' END"
+)
+_METHOD_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 'POST' WHEN 'signup' THEN 'POST' ELSE 'GET' END"
+)
+# host: 5% NULL ('-'), else www.example.com for user_id%4=0, else *.cloudfront.net
+_HOST_SQL = (
+    "CASE WHEN user_id % 20 = 0 THEN NULL WHEN user_id % 4 = 0 THEN 'www.example.com' "
+    "ELSE concat('d', cast(user_id % 4 AS STRING), '.cloudfront.net') END"
+)
+_HOST_SQL_DUCK = (
+    "CASE WHEN user_id % 20 = 0 THEN NULL WHEN user_id % 4 = 0 THEN 'www.example.com' "
+    "ELSE concat('d', cast(user_id % 4 AS VARCHAR), '.cloudfront.net') END"
+)
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_as_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render one CF standard-log line per event and tokenize it."""
+    ev = events_df(spark, sf_dir)
+    line = ev.selectExpr(
+        "cast(event_id AS STRING) AS doc_id",
+        f"""concat_ws('\t',
+          date_format(ts, 'yyyy-MM-dd'),
+          date_format(ts, 'HH:mm:ss'),
+          'LAX1',
+          cast(event_id % 50000 + 100 AS STRING),
+          concat('192.0.2.', cast(user_id % 255 AS STRING)),
+          {_METHOD_SQL},
+          'd111111abcdef8.cloudfront.net',
+          {_URI_SQL},
+          cast({_STATUS_SQL_SPARK} AS STRING),
+          '-',
+          'curl/7.55.1',
+          '-',
+          '-',
+          CASE WHEN {_STATUS_SQL_SPARK} >= 500 THEN 'Error' ELSE 'Hit' END,
+          concat('REQ', cast(event_id AS STRING)),
+          coalesce({_HOST_SQL}, '-'),
+          'https',
+          cast(event_id % 2000 + 20 AS STRING),
+          cast(cast(event_id % 5000 AS DOUBLE) AS STRING),
+          '-', 'TLSv1.2', '-', 'Hit', 'HTTP/2.0', '-', '-', '11040',
+          cast(cast(event_id % 5000 AS DOUBLE) AS STRING),
+          'Hit', 'text/html', cast(event_id % 10000 AS STRING), '-', '-'
+        ) AS line""",
+        """concat('logs/DIST', cast(user_id % 3 AS STRING), '.',
+           date_format(ts, 'yyyy-MM-dd-HH'), '.HASH99.gz') AS source""",
+    )
+    return line.select(
+        "doc_id",
+        encode_tokens_udf(F.col("line")).alias("tokens"),
+        F.length(F.encode(F.col("line"), "utf-8")).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich(decode_and_parse(events_as_tokenized(spark, sf_dir)))
+
+
+def _metric_cfg(metric: dict, resource_attrs: list | None = None) -> Config:
+    return Config.from_json(
+        {
+            "resource_attributes": resource_attrs or [],
+            "scope": {"name": "driver"},
+            "metrics": [metric],
+        }
+    )
+
+
+# -------------------------------------------------- CF pipeline queries ---
+
+def q_cf_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _metric_cfg(
+        {
+            "name": "requests",
+            "type": "Count",
+            "attributes": [
+                {"key": "http.status_code", "value": {"expr": "log.scStatusCategory"}}
+            ],
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select(
+        F.col("window_start"),
+        F.element_at("attrs", 1).getField("value").alias("status_category"),
+        F.col("value").alias("requests"),
+    )
+
+
+def o_cf_count_by_status() -> str:
+    return f"""
+      SELECT date_trunc('minute', ts) AS window_start,
+             {_CATEGORY_SQL_DUCK} AS status_category,
+             count(*) AS requests
+      FROM events GROUP BY 1, 2
+    """
+
+
+def q_cf_count_5xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _metric_cfg(
+        {
+            "name": "5xx",
+            "type": "Count",
+            "filter": {"expr": 'log.scStatusCategory == "5xx"'},
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select("window_start", F.col("value").alias("requests"))
+
+
+def o_cf_count_5xx() -> str:
+    return f"""
+      SELECT date_trunc('minute', ts) AS window_start, count(*) AS requests
+      FROM events WHERE {_CATEGORY_SQL_DUCK} = '5xx' GROUP BY 1
+    """
+
+
+def q_cf_sum_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _metric_cfg(
+        {
+            "name": "bytes",
+            "type": "Sum",
+            "value": {"expr": "double(log.scBytes)"},
+            "attributes": [
+                {"key": "http.status_code", "value": {"expr": "log.scStatusCategory"}}
+            ],
+            "is_monotonic": True,
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select(
+        "window_start",
+        F.element_at("attrs", 1).getField("value").alias("status_category"),
+        F.col("value").cast("bigint").alias("total_bytes"),
+    )
+
+
+def o_cf_sum_bytes() -> str:
+    return f"""
+      SELECT date_trunc('minute', ts) AS window_start,
+             {_CATEGORY_SQL_DUCK} AS status_category,
+             CAST(sum(event_id % 50000 + 100) AS BIGINT) AS total_bytes
+      FROM events GROUP BY 1, 2
+    """
+
+
+_HIST_BOUNDS = [0.0, 1000.0, 2000.0, 3000.0, 4000.0]
+
+
+def q_cf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _metric_cfg(
+        {
+            "name": "ttaken",
+            "type": "Histogram",
+            "interval": "1h",
+            "value": {"expr": "log.timeTaken"},
+            "boundaries": _HIST_BOUNDS,
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    sel = [
+        F.col("window_start"),
+        F.col("count").alias("n"),
+        F.col("sum").cast("bigint").alias("total"),
+        F.col("min").cast("bigint").alias("vmin"),
+        F.col("max").cast("bigint").alias("vmax"),
+    ] + [
+        F.element_at("bucket_counts", i + 1).alias(f"b{i}")
+        for i in range(len(_HIST_BOUNDS) + 1)
+    ]
+    return sink.select(*sel)
+
+
+def o_cf_histogram() -> str:
+    # bucket rule is upper-exclusive v < bound (aggregation.go:316-330)
+    v = "CAST(event_id % 5000 AS DOUBLE)"
+    bounds = _HIST_BOUNDS
+    buckets = []
+    for i in range(len(bounds) + 1):
+        if i == 0:
+            cond = f"{v} < {bounds[0]}"
+        elif i == len(bounds):
+            cond = f"{v} >= {bounds[-1]}"
+        else:
+            cond = f"{v} >= {bounds[i - 1]} AND {v} < {bounds[i]}"
+        buckets.append(f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}")
+    return f"""
+      SELECT date_trunc('hour', ts) AS window_start,
+             count(*) AS n,
+             CAST(sum({v}) AS BIGINT) AS total,
+             CAST(min({v}) AS BIGINT) AS vmin,
+             CAST(max({v}) AS BIGINT) AS vmax,
+             {', '.join(buckets)}
+      FROM events GROUP BY 1
+    """
+
+
+def q_cf_switch_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _metric_cfg(
+        {
+            "name": "by_origin",
+            "type": "Count",
+            "interval": "1h",
+            "attributes": [
+                {
+                    "key": "origin",
+                    "value": {
+                        "switch": [
+                            {
+                                "case": {"expr": 'log.csUriStem.startsWith("/api/")'},
+                                "value": "app",
+                            },
+                            {
+                                "case": {"expr": 'log.csUriStem == "/favicon.ico"'},
+                                "value": "static",
+                            },
+                            {"default": "S3"},
+                        ]
+                    },
+                }
+            ],
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select(
+        "window_start",
+        F.element_at("attrs", 1).getField("value").alias("origin"),
+        F.col("value").alias("requests"),
+    )
+
+
+def o_cf_switch_origin() -> str:
+    return f"""
+      SELECT date_trunc('hour', ts) AS window_start,
+             CASE WHEN starts_with({_URI_SQL}, '/api/') THEN 'app'
+                  WHEN {_URI_SQL} = '/favicon.ico' THEN 'static'
+                  ELSE 'S3' END AS origin,
+             count(*) AS requests
+      FROM events GROUP BY 1, 2
+    """
+
+
+def q_cf_filter_host_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """!contains filter + NULL-host rows drop under SQL 3VL (pinned spec)."""
+    cfg = _metric_cfg(
+        {
+            "name": "non_cf",
+            "type": "Count",
+            "interval": "1h",
+            "filter": {"expr": '!log.xHostHeader.contains("cloudfront.net")'},
+            "attributes": [
+                {"key": "http.host", "value": {"expr": "log.xHostHeader"}}
+            ],
+        }
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select(
+        "window_start",
+        F.element_at("attrs", 1).getField("value").alias("host"),
+        F.col("value").alias("requests"),
+    )
+
+
+def o_cf_filter_host_contains() -> str:
+    return f"""
+      SELECT date_trunc('hour', ts) AS window_start,
+             {_HOST_SQL_DUCK} AS host,
+             count(*) AS requests
+      FROM events
+      WHERE NOT contains(coalesce({_HOST_SQL_DUCK}, ''), 'cloudfront.net')
+        AND {_HOST_SQL_DUCK} IS NOT NULL
+      GROUP BY 1, 2
+    """
+
+
+def q_cf_resource_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource attrs from the source-key parse (S8) as grouping keys."""
+    cfg = _metric_cfg(
+        {"name": "by_dist", "type": "Count", "interval": "1h"},
+        resource_attrs=[
+            {"key": "aws.cloudfront.distribution_id", "value": {"expr": "cloudfront.distributionId"}}
+        ],
+    )
+    sink = aggregate_metric(_parsed(spark, sf_dir), cfg, cfg.metrics[0])
+    return sink.select(
+        F.element_at("resource_attrs", 1).getField("value").alias("distribution_id"),
+        "window_start",
+        F.col("value").alias("requests"),
+    )
+
+
+def o_cf_resource_distribution() -> str:
+    return """
+      SELECT concat('DIST', CAST(user_id % 3 AS VARCHAR)) AS distribution_id,
+             date_trunc('hour', ts) AS window_start,
+             count(*) AS requests
+      FROM events GROUP BY 1, 2
+    """
+
+
+def q_cf_routed_rows_5xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row membership equality (BASELINE.md): exact id set reaching
+    the 5xx sink after the real parse."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.expr("sc_status_category = '5xx'"))
+        .select(F.col("doc_id").cast("bigint").alias("event_id"))
+    )
+
+
+def o_cf_routed_rows_5xx() -> str:
+    return f"SELECT event_id FROM events WHERE {_CATEGORY_SQL_DUCK} = '5xx'"
+
+
+def q_cf_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token passthrough + row-count integrity in one row."""
+    tok = events_as_tokenized(spark, sf_dir)
+    parsed = decode_and_parse(tok)
+    mismatch = F.sum(
+        F.when(F.expr("tokens != tokens") | (F.size("tokens") != F.col("n_tok")), 1).otherwise(0)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        mismatch.cast("bigint").alias("n_token_mismatch"),
+        F.sum(F.when(F.col("timestamp").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_ts"),
+    )
+
+
+def o_cf_roundtrip_integrity() -> str:
+    return (
+        "SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_token_mismatch, "
+        "CAST(0 AS BIGINT) AS n_bad_ts FROM events"
+    )
+
+
+def q_cf_backfill_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line lateness gate (app.go:354-361): fixed event time, 24h
+    tolerance; count surviving rows per hour window."""
+    event_time = "2024-01-31 00:00:00"
+    tol = 24 * 3600
+    parsed = _parsed(spark, sf_dir)
+    gated = parsed.filter(
+        F.col("timestamp").isNotNull()
+        & (
+            F.unix_timestamp(F.lit(event_time).cast("timestamp"))
+            - F.unix_timestamp(F.col("timestamp"))
+            <= F.lit(tol)
+        )
+    )
+    return (
+        gated.groupBy(F.window("timestamp", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .select(F.col("w.start").alias("window_start"), "kept")
+    )
+
+
+def o_cf_backfill_gate() -> str:
+    return """
+      SELECT date_trunc('hour', ts) AS window_start, count(*) AS kept
+      FROM events
+      WHERE epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(date_trunc('second', ts)) <= 86400
+      GROUP BY 1
+    """
+
+
+# --------------------------------------- plain windowed ops over events ---
+
+def q_events_sum_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent double sum via integer cents."""
+    ev = events_df(spark, sf_dir)
+    return (
+        ev.withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_cents", "n")
+    )
+
+
+def o_events_sum_cents() -> str:
+    return """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    """
+
+
+# ------------------------------------------------ documents / embeddings ---
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def o_docs_exact_dedup() -> str:
+    return "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY md5(text)"
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+def o_docs_token_stats() -> str:
+    return r"""
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_computed,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens
+      FROM documents
+    """
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def o_docs_fingerprint() -> str:
+    # identical polynomial rolling hash, stepwise == final mod (no overflow)
+    return r"""
+      WITH n AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64) AS s
+        FROM documents
+      )
+      SELECT doc_id,
+             list_sum(list_transform(range(1, length(s) + 1),
+               i -> ascii(substr(s, CAST(i AS INT), 1)) * CAST(pow(31, (i - 1) % 8) AS BIGINT)
+             )) % 2147483647 AS fingerprint
+      FROM n
+    """
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, qvec, k=20)
+
+
+def o_emb_topk() -> str:
+    return """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT b.vec_id,
+             round(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cos_sim
+      FROM embeddings b, q
+      ORDER BY cos_sim DESC, b.vec_id
+      LIMIT 20
+    """
+
+
+QUERIES = {
+    "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
+    "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
+    "cf_sum_bytes": (q_cf_sum_bytes, o_cf_sum_bytes),
+    "cf_histogram": (q_cf_histogram, o_cf_histogram),
+    "cf_switch_origin": (q_cf_switch_origin, o_cf_switch_origin),
+    "cf_filter_host_contains": (q_cf_filter_host_contains, o_cf_filter_host_contains),
+    "cf_resource_distribution": (q_cf_resource_distribution, o_cf_resource_distribution),
+    "cf_routed_rows_5xx": (q_cf_routed_rows_5xx, o_cf_routed_rows_5xx),
+    "cf_roundtrip_integrity": (q_cf_roundtrip_integrity, o_cf_roundtrip_integrity),
+    "cf_backfill_gate": (q_cf_backfill_gate, o_cf_backfill_gate),
+    "events_sum_cents": (q_events_sum_cents, o_events_sum_cents),
+    "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
+    "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
+    "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
+    "emb_topk": (q_emb_topk, o_emb_topk),
+}

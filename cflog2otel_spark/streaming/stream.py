@@ -1,0 +1,102 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a serially-invoked micro-batch system (one Lambda per S3
+notification, app.go:206-241); its backfill tolerance is bounded lateness
+(SURVEY.md §2.6 T3). The streaming mapping:
+
+  file source over the tokenized corpus (new objects = new files)
+    -> decode/parse/enrich (same operators as batch)
+    -> withWatermark(timestamp, tolerance)      # T3 line gate analog
+    -> per metric: window agg                   # T2
+    -> sink: append (update for consoles), or foreachBatch overwriting the
+       touched window partitions (T4 idempotent delta re-emit)
+
+Aggregations are the same native Count/Sum/Histogram expressions, so the
+batch golden semantics carry over; watermarking bounds state exactly like
+the reference bounds re-reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import Config
+from ..operators.aggregate import aggregate_metric
+from ..operators.enrich import enrich
+from ..operators.parse import decode_and_parse
+from ..schemas import tokenized_input_schema
+
+
+def read_tokenized_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    return (
+        spark.readStream.schema(tokenized_input_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_sinks(
+    spark: SparkSession,
+    cfg: Config,
+    stream: DataFrame,
+    watermark: str = "1 hour",
+) -> dict[str, DataFrame]:
+    """One streaming aggregation per metric config. Caller attaches
+    writeStream (append mode works once the watermark closes a window)."""
+    parsed = enrich(decode_and_parse(stream, keep_payload=False))
+    parsed = parsed.withWatermark("timestamp", watermark)
+    return {m.name: aggregate_metric(parsed, cfg, m) for m in cfg.metrics}
+
+
+def _window_overwrite_writer(path: str):
+    """foreachBatch sink: dynamic-overwrite the window-date partitions the
+    batch touched — the T4 idempotent delta re-emit. Late data re-emits its
+    window's full delta and replaces the stale partition slice instead of
+    appending a duplicate (the batch analog of Iceberg replaceWhere)."""
+    from pyspark.sql import functions as F
+
+    def write(batch_df, _batch_id: int):
+        (
+            batch_df.withColumn("w_date", F.to_date("window_start"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("w_date")
+            .parquet(path)
+        )
+
+    return write
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    cfg: Config,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    trigger_once: bool = True,
+):
+    """Start one writeStream per metric sink. Output mode is `update` +
+    foreachBatch window-partition overwrite: append mode would hold the
+    final windows hostage to a watermark that never advances past
+    end-of-stream, whereas update emits every revised window and the
+    overwrite keeps re-emission idempotent.
+
+    trigger_once=True (availableNow) drains the backlog and stops — the
+    batch-equivalent mode matching the reference's
+    one-invocation-per-notification model."""
+    stream = read_tokenized_stream(spark, input_path)
+    sinks = streaming_sinks(spark, cfg, stream, watermark)
+    queries = []
+    for name, df in sinks.items():
+        safe = name.replace("/", "_")
+        w = (
+            df.writeStream.foreachBatch(_window_overwrite_writer(f"{out_dir}/{safe}"))
+            .option("checkpointLocation", f"{checkpoint_dir}/{safe}")
+            .outputMode("update")
+        )
+        w = w.trigger(availableNow=True) if trigger_once else w.trigger(processingTime="30 seconds")
+        queries.append(w.start())
+    return queries

@@ -1,0 +1,108 @@
+"""spark-submit entry point.
+
+  spark-submit --py-files cflog2otel_spark.zip main.py \
+      --config configs/multi_metrics.json \
+      --input /data/tokenized_corpus \
+      --out /data/sinks \
+      [--format parquet|json] [--strict] [--golden-stdout] \
+      [--event-time 2019-12-01T22:56:00Z] [--repartition-by-source] \
+      [--config-validate-only] [--local-collector]
+
+Mirrors the reference CLI surface (/root/reference/cmd/cflog2otel/main.go:43-51):
+  --config-validate-only ≈ -config-validate-only
+  --local-collector / --golden-stdout ≈ -local-collector (JSON to stdout)
+  --input ≈ -s3-url; --event-time drives the backfill lateness gate.
+
+Package a zip for --py-files with: python scripts/make_pyfiles.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description="CloudFront-log -> OTel-metrics Spark pipeline")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--input", help="tokenized corpus: parquet path or iceberg table")
+    ap.add_argument("--out", help="sink output directory")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    ap.add_argument("--strict", action="store_true", help="fail on malformed rows (reference semantics)")
+    ap.add_argument("--event-time", help="backfill event time (ISO), enables the lateness gate")
+    ap.add_argument("--repartition-by-source", action="store_true")
+    ap.add_argument("--config-validate-only", action="store_true")
+    ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--checkpoint-dir", help="lineage manifest dir for resumable runs")
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from cflog2otel_spark.config import Config, ConfigError
+    from cflog2otel_spark.session import get_spark
+
+    try:
+        cfg = Config.load(args.config)
+    except ConfigError as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(master=args.master, app_name="cflog2otel")
+    try:
+        try:
+            cfg.validate_expressions(spark)
+        except Exception as exc:
+            print(f"config error: {exc}", file=sys.stderr)
+            return 2
+        if args.config_validate_only:
+            print("config is valid")
+            return 0
+        if not args.input:
+            print("--input is required unless --config-validate-only", file=sys.stderr)
+            return 2
+
+        from cflog2otel_spark.pipeline import run_pipeline, write_sinks
+        from cflog2otel_spark.sources.tokenized import read_tokenized
+
+        tokenized = read_tokenized(spark, args.input)
+        t0 = time.time()
+        result = run_pipeline(
+            spark,
+            cfg,
+            tokenized,
+            strict=args.strict,
+            event_time=args.event_time,
+            repartition_by_source=args.repartition_by_source,
+        )
+        n_rows = None
+        if args.checkpoint_dir:
+            from cflog2otel_spark.lineage import write_run_manifest
+
+            n_rows = write_run_manifest(
+                spark, result, args.checkpoint_dir, input_path=args.input
+            )
+        if args.out:
+            write_sinks(result, args.out, fmt=args.format)
+        if args.golden_stdout:
+            from cflog2otel_spark.golden import encode_golden
+
+            for tree in encode_golden(result, cfg):
+                print(json.dumps(tree, indent=2))
+        dt = time.time() - t0
+        stats = {"elapsed_sec": round(dt, 3)}
+        if n_rows is not None:
+            stats.update({"rows": n_rows, "seq_per_sec": round(n_rows / dt, 1)})
+        print(json.dumps({"run": stats}), file=sys.stderr)
+        result.unpersist()
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

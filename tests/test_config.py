@@ -1,0 +1,110 @@
+"""Negative config tests, mirroring /root/reference/config_test.go:34-51."""
+
+import pytest
+
+from cflog2otel_spark.config import Config, ConfigError, parse_duration
+
+
+def _base(metric):
+    return {"resource_attributes": [], "metrics": [metric]}
+
+
+def test_unknown_top_level_field():
+    with pytest.raises(ConfigError, match="unknown field"):
+        Config.from_json({"metrics": [{"name": "x"}], "bogus": 1})
+
+
+def test_cel_in_non_cel_field():
+    with pytest.raises(ConfigError, match="cannot use CEL native function"):
+        Config.from_json(_base({"name": {"expr": "log.csHost"}}))
+
+
+def test_invalid_cel_variable():
+    with pytest.raises(ConfigError, match="unknown"):
+        Config.from_json(_base({"name": "x", "filter": {"expr": "log.nope == 1"}}))
+
+
+def test_sum_requires_value():
+    with pytest.raises(ConfigError, match="value is required"):
+        Config.from_json(_base({"name": "x", "type": "Sum"}))
+
+
+def test_histogram_requires_value():
+    with pytest.raises(ConfigError, match="value is required"):
+        Config.from_json(_base({"name": "x", "type": "Histogram"}))
+
+
+def test_boundaries_strictly_increasing():
+    with pytest.raises(ConfigError, match="strictly increasing"):
+        Config.from_json(
+            _base(
+                {
+                    "name": "x",
+                    "type": "Histogram",
+                    "value": {"expr": "log.timeTaken"},
+                    "boundaries": [0, 5, 5],
+                }
+            )
+        )
+
+
+def test_type_case_insensitive_and_default():
+    c = Config.from_json(_base({"name": "x", "type": "count"}))
+    assert c.metrics[0].type == "Count"
+    c = Config.from_json(_base({"name": "x"}))
+    assert c.metrics[0].type == "Count"  # zero value default
+    with pytest.raises(ConfigError, match="invalid type"):
+        Config.from_json(_base({"name": "x", "type": "Gauge"}))
+
+
+def test_interval_default_and_min():
+    c = Config.from_json(_base({"name": "x"}))
+    assert c.metrics[0].interval_seconds == 60.0  # default 1m (config.go:133-135)
+    with pytest.raises(ConfigError, match=">= 1ms"):
+        Config.from_json(_base({"name": "x", "interval": "500us"}))
+
+
+def test_default_boundaries():
+    c = Config.from_json(
+        _base({"name": "x", "type": "Histogram", "value": {"expr": "log.timeTaken"}})
+    )
+    assert c.metrics[0].boundaries == [
+        0, 5, 10, 25, 50, 75, 100, 250, 500, 750, 1000, 2500, 5000, 7500, 10000,
+    ]
+
+
+def test_count_ignores_value_with_warning(caplog):
+    c = Config.from_json(
+        _base({"name": "x", "type": "Count", "value": {"expr": "double(log.scBytes)"}})
+    )
+    assert c.metrics[0].value is None
+
+
+def test_switch_validation():
+    attr = lambda sw: _base(
+        {"name": "x", "attributes": [{"key": "k", "value": {"switch": sw}}]}
+    )
+    with pytest.raises(ConfigError, match="multiple defaults"):
+        Config.from_json(attr([{"case": {"expr": "true"}, "value": "a"},
+                               {"default": "x"}, {"default": "y"}]))
+    with pytest.raises(ConfigError, match="value or value_expr"):
+        Config.from_json(attr([{"case": {"expr": "true"}}]))
+    with pytest.raises(ConfigError, match="missing case"):
+        Config.from_json(attr([{"value": "a"}]))
+
+
+def test_durations():
+    assert parse_duration("1m") == 60
+    assert parse_duration("30m") == 1800
+    assert parse_duration("1h30m") == 5400
+    assert parse_duration("1.5s") == 1.5
+    assert parse_duration("100ms") == 0.1
+    with pytest.raises(ConfigError):
+        parse_duration("5 lightyears")
+
+
+def test_backfill_defaults():
+    c = Config.from_json(
+        {"metrics": [{"name": "x"}], "backfill": {"enabled": True}}
+    )
+    assert c.backfill.time_tolerance_seconds == 3600.0  # config.go:329-331

@@ -1,0 +1,96 @@
+"""Streaming pipeline (availableNow), lineage manifests / resume, and
+multimodal plumbing tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cflog2otel_spark.config import Config
+from cflog2otel_spark.sources.tokenized import read_cf_log_file, tokenized_df_from_lines
+
+from .conftest import CF_LOG, CF_LOG2, CONFIGS, SOURCE1, SOURCE2
+
+
+def test_streaming_matches_batch(spark, cf_fixture_df, tmp_path):
+    """availableNow streaming run over the fixture corpus == batch goldens
+    once the stream drains (watermark closes all windows on completion)."""
+    from cflog2otel_spark.streaming.stream import run_streaming_pipeline
+
+    inp = str(tmp_path / "in")
+    cf_fixture_df.write.parquet(inp)
+    cfg = Config.load(f"{CONFIGS}/request_count_by_status_category.json")
+    queries = run_streaming_pipeline(
+        spark, cfg, inp, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    for q in queries:
+        q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out/http.server.requests"))
+    rows = {
+        (str(r["window_start"]), r["attrs"][0]["value"]): r["value"]
+        for r in out.collect()
+    }
+    assert rows == {
+        ("2019-12-01 22:42:00", "2xx"): 3,
+        ("2019-12-01 22:51:00", "5xx"): 3,
+    }
+
+
+def test_lineage_manifest_and_resume(spark, tmp_path):
+    from cflog2otel_spark.lineage import completed_sources, resume_filter, write_run_manifest
+    from cflog2otel_spark.pipeline import run_pipeline
+
+    _, lines1 = read_cf_log_file(CF_LOG)
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    corpus = tokenized_df_from_lines(spark, lines1, SOURCE1).union(
+        tokenized_df_from_lines(spark, lines2, SOURCE2)
+    )
+    cfg = Config.load(f"{CONFIGS}/multi_metrics.json")
+    mdir = str(tmp_path / "manifests")
+
+    # run 1: only SOURCE1
+    r1 = run_pipeline(spark, cfg, corpus.filter(F.col("source") == SOURCE1), cache="none")
+    total = write_run_manifest(spark, r1, mdir, input_path="corpus")
+    assert total == 6
+    assert completed_sources(mdir) == {SOURCE1}
+    m = json.load(open(os.path.join(mdir, os.listdir(mdir)[0])))
+    assert m["sources"][SOURCE1]["rows"] == 6
+    assert m["skew"]["n_sources"] == 1
+    assert m["sink_rows"]["http.server.requests"] == 2
+
+    # resume: only SOURCE2 remains
+    remaining = resume_filter(corpus, mdir)
+    assert {r["source"] for r in remaining.select("source").distinct().collect()} == {SOURCE2}
+
+    # corrupt manifest is ignored, not fatal
+    with open(os.path.join(mdir, "manifest_bad.json"), "w") as fh:
+        fh.write("{truncated")
+    assert completed_sources(mdir) == {SOURCE1}
+
+
+def test_multimodal_feature_extraction(spark):
+    from cflog2otel_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] >= 128
+        assert 0.0 <= r["byte_entropy"] <= 8.0
+    # determinism: same payload -> same feature
+    again = extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+    # frame sampling plan: video of 5000ms sampled every 1000ms -> 6 frames
+    plan = frame_sample_plan(media)
+    per_video = (
+        plan.groupBy("media_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_video] == [6]

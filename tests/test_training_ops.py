@@ -1,0 +1,145 @@
+"""Training-data operator tests: dedup (exact/minhash/simhash/jaccard),
+similarity (brute-force + LSH ANN), text analysis — with Python/NumPy
+oracles."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "a completely different document about spark query planning and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "spark query planning involves catalyst rules and physical strategies"),
+    (5, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+def test_exact_dedup(spark, docs_df):
+    from cflog2otel_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # doc 3 folded into doc 0
+    assert 3 not in out
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_shingles_match_python_oracle(spark, docs_df):
+    from cflog2otel_spark.operators.dedup import shingles
+
+    rows = docs_df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    for r in rows:
+        expect = _py_shingles(DOCS[r["doc_id"]][1])
+        assert set(r["sh"]) == expect, r["doc_id"]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    from cflog2otel_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard_est"] for r in minhash_lsh_pairs(docs_df).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.4   # near-dup
+    assert (0, 2) not in pairs  # unrelated must not collide in all bands
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    from cflog2otel_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    cands = minhash_lsh_pairs(docs_df)
+    out = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs_df, cands).collect()}
+    for (a, b), j in out.items():
+        sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+        expect = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert j == pytest.approx(expect), (a, b)
+
+
+def test_simhash_near_dup(spark, docs_df):
+    from cflog2otel_spark.operators.dedup import simhash64, simhash_near_dup_pairs
+
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs_df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()
+    }
+    assert sigs[0] == sigs[3]  # identical text -> identical signature
+    ham01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((sigs[0] ^ sigs[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    pairs = {(r["a"], r["b"]) for r in simhash_near_dup_pairs(docs_df, max_hamming=16).collect()}
+    assert (0, 3) in pairs
+
+
+VECS = None
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    global VECS
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16))
+    base[7] = base[0] + rng.normal(scale=0.01, size=16)  # near-dup of 0
+    VECS = base
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_force_topk_matches_numpy(spark, emb_df):
+    from cflog2otel_spark.operators.similarity import brute_force_topk
+
+    q = [float(x) for x in VECS[0]]
+    out = [(r["vec_id"], r["cos_sim"]) for r in brute_force_topk(emb_df, q, k=5).collect()]
+    oracle = sorted(
+        ((i, round(_cos(VECS[i], VECS[0]), 6)) for i in range(len(VECS))),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [i for i, _ in out] == [i for i, _ in oracle]
+    for (_, s), (_, so) in zip(out, oracle):
+        assert s == pytest.approx(so, abs=1e-6)
+    assert out[0][0] == 0 and out[1][0] == 7  # self then the near-dup
+
+
+def test_lsh_ann_finds_near_neighbor(spark, emb_df):
+    from cflog2otel_spark.operators.similarity import lsh_ann_topk
+
+    q = [float(x) for x in VECS[0]]
+    out = [r["vec_id"] for r in lsh_ann_topk(emb_df, q, k=3, n_bits=8).collect()]
+    assert 0 in out and 7 in out  # a 0.9999-cosine neighbor shares all sign bits
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
+
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(emb_df, 0.95, exact=True).collect()}
+    assert (0, 7) in exact
+    bucketed = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(emb_df, 0.95).collect()}
+    assert (0, 7) in bucketed
+
+
+def test_text_analysis(spark, docs_df):
+    from cflog2otel_spark.operators.text import analyze_documents
+
+    out = {r["doc_id"]: r for r in analyze_documents(docs_df).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == len(DOCS[0][1].split())
+    assert r0["n_chars_computed"] == len(DOCS[0][1])
+    assert r0["lang_pred"] == "en"  # 'the' markers
+    assert 0.0 <= r0["quality"] <= 1.0
+    assert out[0]["fingerprint"] == out[3]["fingerprint"]  # identical text
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
