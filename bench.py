@@ -98,7 +98,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def progress(msg: str) -> None:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    t0 = time.time()
     corpus_path = ensure_corpus(spark)
+    progress(f"corpus ready in {time.time()-t0:.1f}s")
     corpus = spark.read.parquet(corpus_path)
     n_rows = corpus.count()
 
@@ -111,6 +116,7 @@ def main() -> None:
     result.unpersist()
     timings["pipeline_multi_metric"] = round(dt, 3)
     extras["seq_per_sec"] = round(n_rows / dt, 1)
+    progress(f"pipeline_multi_metric {dt:.1f}s ({n_rows/dt:.0f} seq/s)")
 
     # driver-table queries (same entries the correctness gate runs)
     from cflog2otel_spark.plans.driver_queries import QUERIES
@@ -130,6 +136,7 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        progress(f"{name} {timings[name]}s")
 
     # near-dup / LSH ops over documents
     from cflog2otel_spark.operators.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
@@ -138,10 +145,12 @@ def main() -> None:
     t0 = time.time()
     minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
     timings["docs_minhash_lsh"] = round(time.time() - t0, 3)
+    progress(f"docs_minhash_lsh {timings['docs_minhash_lsh']}s")
 
     t0 = time.time()
     simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
     timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
+    progress(f"docs_simhash_neardup {timings['docs_simhash_neardup']}s")
 
     total = round(sum(timings.values()), 3)
     print(

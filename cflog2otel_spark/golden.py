@@ -114,6 +114,127 @@ def _norm_numbers(x: Any) -> Any:
     return x
 
 
+def encode_otlp(result: PipelineResult, config) -> list[dict]:
+    """OTLP proto-JSON shape (the e2e goldens: one ExportMetricsServiceRequest
+    per export — /root/reference/testdata/fixtures/e2e.golden.json,
+    e2e_backfill.golden.json). Go proto-JSON omits empty strings and uses
+    oneof wrappers: value.Value.StringValue, dp.Value.AsInt/AsDouble;
+    aggregation_temporality 1=delta, 2=cumulative."""
+
+    def attrs(pairs):
+        return [
+            {"key": p["key"], "value": {"Value": {"StringValue": p["value"]}}}
+            for p in pairs
+        ]
+
+    def nanos(dt: datetime) -> int:
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000_000)
+
+    by_resource: dict[str, dict] = {}
+    ordered_names = sorted(result.sinks, key=lambda n: result.metric_index[n])
+    for name in ordered_names:
+        m = config.metrics[result.metric_index[name]]
+        for row in (r.asDict(recursive=True) for r in result.sinks[name].collect()):
+            rkey = json.dumps(attrs(row["resource_attrs"]), sort_keys=True)
+            res = by_resource.setdefault(
+                rkey,
+                {
+                    "resource": {"attributes": attrs(row["resource_attrs"])},
+                    "scope_metrics": [{"scope": {}, "metrics": []}],
+                },
+            )
+            sm = res["scope_metrics"][0]
+            for k, v in (
+                ("name", row["scope_name"]),
+                ("version", row["scope_version"]),
+            ):
+                if v:
+                    sm["scope"][k] = v
+            if row["scope_schema_url"]:
+                sm["schema_url"] = row["scope_schema_url"]
+            metric = next((x for x in sm["metrics"] if x.get("name") == name), None)
+            if metric is None:
+                metric = {"name": name}
+                if row["metric_description"]:
+                    metric["description"] = row["metric_description"]
+                if row["metric_unit"]:
+                    metric["unit"] = row["metric_unit"]
+                temporality = 2 if row["temporality"] == "CumulativeTemporality" else 1
+                if m.type in ("Count", "Sum"):
+                    metric["Data"] = {
+                        "Sum": {
+                            "data_points": [],
+                            "aggregation_temporality": temporality,
+                            "is_monotonic": row["is_monotonic"],
+                        }
+                    }
+                else:
+                    metric["Data"] = {
+                        "Histogram": {
+                            "data_points": [],
+                            "aggregation_temporality": temporality,
+                        }
+                    }
+                sm["metrics"].append(metric)
+            dp: dict[str, Any] = {}
+            if row["attrs"]:
+                dp["attributes"] = attrs(row["attrs"])
+            dp["start_time_unix_nano"] = nanos(row["window_start"])
+            dp["time_unix_nano"] = nanos(row["window_end"])
+            if m.type == "Count":
+                dp["Value"] = {"AsInt": int(row["value"])}
+                metric["Data"]["Sum"]["data_points"].append(dp)
+            elif m.type == "Sum":
+                dp["Value"] = {"AsDouble": row["value"]}
+                metric["Data"]["Sum"]["data_points"].append(dp)
+            else:
+                dp.update(
+                    {
+                        "count": int(row["count"]),
+                        "sum": row["sum"],
+                        "explicit_bounds": row["bounds"],
+                        "bucket_counts": row["bucket_counts"],
+                    }
+                )
+                if not m.no_min_max:
+                    dp["min"] = row["min"]
+                    dp["max"] = row["max"]
+                metric["Data"]["Histogram"]["data_points"].append(dp)
+    reqs = [
+        {"resource_metrics": [by_resource[k]]} for k in sorted(by_resource)
+    ]
+    for req in reqs:
+        for rm in req["resource_metrics"]:
+            for sm in rm["scope_metrics"]:
+                for metric in sm["metrics"]:
+                    data = metric["Data"].get("Sum") or metric["Data"].get("Histogram")
+                    data["data_points"].sort(
+                        key=lambda d: (
+                            d["start_time_unix_nano"],
+                            json.dumps(d.get("attributes", []), sort_keys=True),
+                        )
+                    )
+    return [_norm_numbers(r) for r in reqs]
+
+
+def canonicalize_otlp(tree: Any) -> Any:
+    tree = _norm_numbers(tree)
+    for rm in tree.get("resource_metrics", []):
+        for sm in rm.get("scope_metrics", []):
+            for metric in sm.get("metrics", []):
+                data = metric.get("Data", {})
+                dps = (data.get("Sum") or data.get("Histogram") or {}).get("data_points", [])
+                dps.sort(
+                    key=lambda d: (
+                        d["start_time_unix_nano"],
+                        json.dumps(d.get("attributes", []), sort_keys=True),
+                    )
+                )
+    return tree
+
+
 def load_reference_golden(path: str) -> dict:
     with open(path) as fh:
         return canonicalize(json.load(fh))

@@ -39,14 +39,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), JVM-side via split+transform."""
+    """Word n-gram shingle set (distinct), JVM-side.
+
+    Built as a zip_with chain over shifted slices — NOT transform-over-
+    indices with element_at: capturing the token array inside the lambda
+    re-evaluates the split per element (lambda bodies get no subexpression
+    elimination). zip_with pads the shorter side with NULL; F.concat
+    propagates the NULL so padded tails drop in the final slice.
+    """
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    parts = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        parts = F.zip_with(parts, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.when(count > 0, F.slice(parts, 1, count)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.array_distinct(F.when(count > 0, sh).otherwise(F.array()))
+    return F.array_distinct(sh)
 
 
 # fixed 64-bit odd multipliers/offsets for k minhash functions (seeded, public
@@ -60,16 +70,32 @@ def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signature(shingle_arr: Column, k: int = 32, seed: int = 42) -> Column:
     """k-wide MinHash signature over a shingle array. Base hash is xxhash64
-    (stable in Spark); permutations are (a*x+b) mod p."""
+    (stable in Spark); permutations are (a*x+b) mod p.
+
+    Single aggregate pass: fold over the base hashes updating a k-wide
+    running-minimum array against a FOLDABLE params literal — k separate
+    array_min(transform(base, ...)) expressions would re-evaluate the base
+    hash array k times per row.
+    """
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _hash_params(k, seed)
+        ]
+    )
     base = F.transform(shingle_arr, lambda s: F.abs(F.xxhash64(s)))
-    sigs = []
-    for a, b in _hash_params(k, seed):
-        sigs.append(
-            F.array_min(
-                F.transform(base, lambda x: (x % MERSENNE_P * a + b) % MERSENNE_P)
-            )
-        )
-    return F.array(*sigs)
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), k)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m, (x % MERSENNE_P * p.getField("a") + p.getField("b")) % MERSENNE_P
+            ),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -169,24 +195,30 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     hashes, fully JVM-side (aggregate over bit projections)."""
     sh = shingles(text, shingle_n)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # ONE aggregate pass updating a 64-wide vote array per hash — the
+    # transform-over-bits-with-aggregate-inside shape would re-evaluate the
+    # hash array (and the shingle split under it) 64 times per row.
     # F.shiftright/shiftleft only take literal ints in the Python API;
     # call_function routes Column shift amounts to the SQL builtins.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda bit: F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
+    # sequence(0,63) is foldable -> a constant literal in the plan.
+    bits64 = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits64,
+            lambda v, bit: v
             + F.when(
                 F.call_function("shiftright", h, bit.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(-1).cast("bigint")),
         ),
     )
     return F.aggregate(
         F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
+            votes,
+            bits64,
             lambda v, bit: F.when(
                 v > 0,
                 F.call_function("shiftleft", F.lit(1).cast("bigint"), bit.cast("int")),

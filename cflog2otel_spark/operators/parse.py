@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,42 +30,63 @@ from pyspark.sql import types as T
 from ..schemas import CANONICAL_HEADER, CF_FIELDS
 
 
-@F.pandas_udf(T.StringType())
-def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
-    """array<int32> of UTF-8 byte values -> string, Arrow-batched.
+def decode_tokens_col(tokens: Column) -> Column:
+    """array<int32> of UTF-8 byte values -> string, entirely JVM-side:
+    byte -> 2-char hex -> unhex -> UTF-8 decode. Byte-exact for any UTF-8
+    (incl. multi-byte) as long as values are in [0, 255] — the input_hint
+    domain; out-of-range values corrupt silently (strict mode guards).
 
-    Vectorized: one concatenate over the batch, byte-slice per row (C-level
-    memoryview slicing + decode; no per-element Python arithmetic).
+    Measured 2-3x faster than the best Arrow UDF on this box (13.7s vs
+    36.6s per 2M rows x 32 cores): no JVM<->Python socket crossing, stays
+    inside whole-stage codegen, and scales linearly with cores.
     """
-    arrs = tokens.to_numpy()
-    n = len(arrs)
-    if n == 0:
-        return pd.Series([], dtype=object)
-    out: list[str | None] = [None] * n
-    lens = np.zeros(n, dtype=np.int64)
-    np_arrs = []
-    for i, a in enumerate(arrs):
-        if a is None:
-            continue
-        arr = np.asarray(a, dtype=np.int64)
-        lens[i] = arr.size
-        np_arrs.append(arr)
-    if np_arrs:
-        flat = np.concatenate(np_arrs).astype(np.uint8).tobytes()
+    return F.decode(
+        F.unhex(F.array_join(F.transform(tokens, lambda x: F.lpad(F.hex(x), 2, "0")), "")),
+        "UTF-8",
+    )
+
+
+def encode_tokens_col(line: Column) -> Column:
+    """string -> array<int32> of UTF-8 byte values, JVM-side inverse:
+    encode -> hex string -> \\G-regex split into 2-char chunks -> conv.
+
+    CRITICAL shape constraint: expressions captured inside a higher-order
+    -function lambda are re-evaluated PER ELEMENT (no subexpression
+    elimination inside lambda bodies) — an earlier substring(h, i*2-1, 2)
+    form recomputed hex(encode(line)) per byte, turning the encode
+    quadratic. The split form evaluates h once per row.
+    """
+    h = F.hex(F.encode(line, "UTF-8"))
+    pairs = F.filter(F.split(h, r"(?<=\G.{2})"), lambda s: s != "")
+    return F.transform(pairs, lambda s: F.conv(s, 16, 10).cast("int"))
+
+
+@F.arrow_udf(T.StringType())
+def decode_tokens_udf(tokens: pa.Array) -> pa.Array:
+    """Arrow-native decode alternative (one flat-buffer pass per batch;
+    no per-row Python arithmetic). Prefer decode_tokens_col; this path is
+    for environments where the Arrow bridge beats JVM string ops."""
+    la = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    vals = la.values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    offs = la.offsets.to_numpy()
+    flat = vals.tobytes()
+    n = len(la)
+    if la.null_count == 0:
+        out: list[str | None] = [
+            flat[offs[i] : offs[i + 1]].decode("utf-8", "replace") for i in range(n)
+        ]
     else:
-        flat = b""
-    offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    for i, a in enumerate(arrs):
-        if a is None:
-            continue
-        out[i] = flat[offs[i] : offs[i + 1]].decode("utf-8", "replace")
-    return pd.Series(out, dtype=object)
+        valid = la.is_valid().to_numpy(zero_copy_only=False)
+        out = [
+            flat[offs[i] : offs[i + 1]].decode("utf-8", "replace") if valid[i] else None
+            for i in range(n)
+        ]
+    return pa.array(out, type=pa.string())
 
 
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
 def encode_tokens_udf(lines: pd.Series) -> pd.Series:
-    """string -> array<int32> of UTF-8 byte values (inverse of decode)."""
+    """string -> array<int32> of UTF-8 byte values (Arrow-batched inverse)."""
     return pd.Series(
         [
             None
@@ -167,13 +189,30 @@ def decode_and_parse(
     field_order: list[str] | None = None,
     strict: bool = False,
     keep_payload: bool = True,
+    decode_impl: str = "native",
 ) -> DataFrame:
     """tokenized input (doc_id, tokens, n_tok, source) -> parsed log records.
 
     Payload columns pass through untouched — per-row token-array equality is
     the pipeline invariant (BASELINE.json input_hint).
+
+    decode_impl: 'native' (JVM hex path, default) or 'arrow' (Python UDF).
     """
-    out = df.withColumn("line", decode_tokens_udf(F.col("tokens")))
+    tokens = F.col("tokens")
+    if strict:
+        # native decode assumes byte-domain values; fail loudly otherwise
+        tokens = F.when(
+            F.exists(tokens, lambda x: (x < 0) | (x > 255)),
+            F.raise_error(F.lit("token value outside byte range [0,255]")).cast(
+                "array<int>"
+            ),
+        ).otherwise(tokens)
+    line = (
+        decode_tokens_col(tokens)
+        if decode_impl == "native"
+        else decode_tokens_udf(tokens)
+    )
+    out = df.withColumn("line", line)
     if not keep_payload:
         out = out.drop("tokens", "n_tok")
     return parse_cf_lines(out, "line", field_order, strict=strict)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..config import Config
 from ..operators.aggregate import aggregate_metric
 from ..operators.enrich import enrich
-from ..operators.parse import decode_and_parse, encode_tokens_udf
+from ..operators.parse import decode_and_parse, encode_tokens_col
 
 # ---------------------------------------------------------------------------
 # deterministic events -> CF log line mapping (mirrored in the oracle SQL)
@@ -65,8 +65,13 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_as_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Render one CF standard-log line per event and tokenize it."""
-    ev = events_df(spark, sf_dir)
+    """Render one CF standard-log line per event and tokenize it.
+
+    events.parquet is a single small file -> one input partition; the
+    tokenize/detokenize round trip is CPU-bound, so spread it across cores
+    explicitly (scan parallelism follows bytes, not compute cost).
+    """
+    ev = events_df(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     line = ev.selectExpr(
         "cast(event_id AS STRING) AS doc_id",
         f"""concat_ws('\t',
@@ -98,10 +103,9 @@ def events_as_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return line.select(
         "doc_id",
-        encode_tokens_udf(F.col("line")).alias("tokens"),
-        F.length(F.encode(F.col("line"), "utf-8")).cast("int").alias("n_tok"),
+        encode_tokens_col(F.col("line")).alias("tokens"),
         "source",
-    )
+    ).select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
 
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.parse import encode_tokens_udf
+from ..operators.parse import encode_tokens_col
 
 DISTRIBUTIONS = [
     "EMLHOTDISTRIB",  # the hot one: ~50% of rows
@@ -163,12 +163,13 @@ def generate_tokenized(
 ) -> DataFrame:
     """Full tokenized corpus per the input hint schema."""
     lines = generate_lines(spark, n_rows, seed=seed, **kw)
+    # n_tok from the token array, NOT by re-encoding the line: CollapseProject
+    # would otherwise inline the (huge) line expression twice per row
     return lines.select(
         "doc_id",
-        encode_tokens_udf(F.col("line")).alias("tokens"),
-        F.length(F.encode(F.col("line"), "utf-8")).cast("int").alias("n_tok"),
+        encode_tokens_col(F.col("line")).alias("tokens"),
         "source",
-    )
+    ).select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
 
 
 def write_corpus(df: DataFrame, path: str, partition_by_source: bool = True) -> None:

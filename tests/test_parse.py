@@ -132,3 +132,49 @@ def test_utf8_multibyte_token_roundtrip(spark):
     r = decode_and_parse(df).collect()[0]
     assert r["x_edge_location"] == "ZÜR1-ünïcodé-日本語"
     assert bytes(r["tokens"]) .decode("utf-8") == line
+
+
+def test_decode_impls_agree(spark, cf_fixture_df):
+    """JVM hex decode == Arrow UDF decode, byte-exact, incl. multibyte."""
+    from pyspark.sql import functions as F
+
+    from cflog2otel_spark.operators.parse import (
+        decode_tokens_col,
+        decode_tokens_udf,
+        encode_tokens_col,
+        encode_tokens_udf,
+    )
+
+    lines = ["plain ascii line", "ünïcodé 日本語 ✓", ""]
+    df = tokenized_df_from_lines(spark, lines, SOURCE1)
+    got = df.select(
+        decode_tokens_col(F.col("tokens")).alias("a"),
+        decode_tokens_udf(F.col("tokens")).alias("b"),
+    ).collect()
+    for r, line in zip(got, lines):
+        assert r["a"] == line and r["b"] == line
+
+    # encode col == encode udf == python bytes
+    enc = spark.createDataFrame([(l,) for l in lines], ["line"]).select(
+        encode_tokens_col(F.col("line")).alias("a"),
+        encode_tokens_udf(F.col("line")).alias("b"),
+    ).collect()
+    for r, line in zip(enc, lines):
+        expect = list(line.encode("utf-8"))
+        assert r["a"] == expect and r["b"] == expect
+
+
+def test_strict_token_out_of_range_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from cflog2otel_spark.operators.parse import decode_and_parse
+    from cflog2otel_spark.schemas import tokenized_input_schema
+
+    df = spark.createDataFrame(
+        [("d", [72, 300], 2, SOURCE1)], schema=tokenized_input_schema()
+    )
+    with _pytest.raises(Exception, match="byte range"):
+        decode_and_parse(df, strict=True).collect()
+    # lenient path doesn't raise
+    decode_and_parse(df).collect()
