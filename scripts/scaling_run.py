@@ -63,7 +63,7 @@ def run_level(cpus: int, corpus: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4n)")
+    ap.add_argument("--n", type=int, default=2, help="small parallelism level (big = 4n); default 2 — this sandbox delivers ~2.4 effective cores (see BENCH.md)")
     args = ap.parse_args()
 
     corpus = f"/tmp/cflog_corpus_scaling_{args.rows}"
