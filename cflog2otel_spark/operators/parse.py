@@ -184,6 +184,41 @@ def _derive(df: DataFrame, strict: bool) -> DataFrame:
     )
 
 
+def malformed_stats(df: DataFrame, line_col: str = "line") -> dict[str, int]:
+    """Lenient-mode malformed-row accounting (the counter the reference's
+    hard-fail behavior implies, cloudfront_std_log.go:257-277): for every
+    numeric field, count rows where the raw value was present (not '-')
+    but the cast yielded NULL; plus rows whose timestamp failed to derive.
+    One aggregation pass; returns {field: bad_rows}.
+
+    Requires the line column retained (drop_line=False in parse_cf_lines
+    or re-parse) — raw values come from re-splitting the line.
+    """
+    parts = F.split(F.col(line_col), "\t", -1)
+    aggs = []
+    names = []
+    for i, f in enumerate(CF_FIELDS):
+        if f.dtype == "string":
+            continue
+        raw = F.nullif(F.get(parts, i), F.lit("-"))
+        bad = raw.isNotNull() & F.col(f.col).isNull()
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).cast("long"))
+        names.append(f.col)
+    aggs.append(
+        F.sum(
+            F.when(
+                F.col("date").isNotNull()
+                & F.col("time").isNotNull()
+                & F.col("timestamp").isNull(),
+                1,
+            ).otherwise(0)
+        ).cast("long")
+    )
+    names.append("timestamp")
+    row = df.agg(*aggs).collect()[0]
+    return {n: int(row[i] or 0) for i, n in enumerate(names)}
+
+
 def decode_and_parse(
     df: DataFrame,
     field_order: list[str] | None = None,

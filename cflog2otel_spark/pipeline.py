@@ -70,10 +70,31 @@ def run_pipeline(
     an Iceberg (source, hours(ts)) layout so downstream window aggregations
     mostly combine map-side.
     """
-    cfg.validate_expressions(spark)
-
     parsed = decode_and_parse(tokenized, strict=strict, keep_payload=keep_payload)
     parsed = enrich(parsed)
+    return run_pipeline_parsed(
+        spark,
+        cfg,
+        parsed,
+        cache=cache,
+        keep_payload=keep_payload,
+        event_time=event_time,
+        repartition_by_source=repartition_by_source,
+    )
+
+
+def run_pipeline_parsed(
+    spark: SparkSession,
+    cfg: Config,
+    parsed: DataFrame,
+    cache: str = "memory_and_disk",
+    keep_payload: bool = True,
+    event_time: str | None = None,
+    repartition_by_source: bool = False,
+) -> PipelineResult:
+    """Fan-out over an already-parsed+enriched record set (shared by the
+    tokenized and raw-text sources)."""
+    cfg.validate_expressions(spark)
 
     if cfg.backfill.enabled and event_time is not None:
         tol = cfg.backfill.time_tolerance_seconds

@@ -522,6 +522,73 @@ def o_emb_topk() -> str:
     """
 
 
+def q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id, punct_ratio, stopword_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        lang_id(t).alias("lang_pred"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+def o_docs_lang_quality() -> str:
+    from ..operators.text import LANG_MARKERS, STOPWORDS
+
+    def marker_score(words: list[str]) -> str:
+        terms = " + ".join(
+            rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+        )
+        return f"({terms})"
+
+    s = {lang: marker_score(words) for lang, words in LANG_MARKERS.items()}
+    # first maximal positive score wins, in en/es/fr/de order ('und' if none)
+    lang_case = f"""
+      CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']} AND {s['en']} > 0 THEN 'en'
+           WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {s['de']} AND {s['es']} > 0 THEN 'es'
+           WHEN {s['fr']} >= {s['de']} AND {s['fr']} > 0 THEN 'fr'
+           WHEN {s['de']} > 0 THEN 'de'
+           ELSE 'und' END
+    """
+    ntok = r"""CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+    stop_hits = marker_score(STOPWORDS)
+    return rf"""
+      SELECT doc_id,
+             {lang_case} AS lang_pred,
+             round(CASE WHEN length(text) > 0
+               THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN {ntok} > 0
+               THEN CAST({stop_hits} AS DOUBLE) / {ntok}
+               ELSE 0.0 END, 6) AS stopword_ratio
+      FROM documents
+    """
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+def o_emb_near_dup() -> str:
+    return """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -537,5 +604,7 @@ QUERIES = {
     "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
     "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
+    "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
     "emb_topk": (q_emb_topk, o_emb_topk),
+    "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
 }

@@ -28,6 +28,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="CloudFront-log -> OTel-metrics Spark pipeline")
     ap.add_argument("--config", required=True)
     ap.add_argument("--input", help="tokenized corpus: parquet path or iceberg table")
+    ap.add_argument(
+        "--text-input",
+        nargs="+",
+        help="raw CloudFront standard-log files (.gz or plain text) instead of --input",
+    )
     ap.add_argument("--out", help="sink output directory")
     ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
     ap.add_argument("--strict", action="store_true", help="fail on malformed rows (reference semantics)")
@@ -62,23 +67,36 @@ def main(argv: list[str] | None = None) -> int:
         if args.config_validate_only:
             print("config is valid")
             return 0
-        if not args.input:
-            print("--input is required unless --config-validate-only", file=sys.stderr)
+        if not args.input and not args.text_input:
+            print(
+                "--input or --text-input is required unless --config-validate-only",
+                file=sys.stderr,
+            )
             return 2
 
-        from cflog2otel_spark.pipeline import run_pipeline, write_sinks
-        from cflog2otel_spark.sources.tokenized import read_tokenized
+        from cflog2otel_spark.pipeline import run_pipeline, run_pipeline_parsed, write_sinks
 
-        tokenized = read_tokenized(spark, args.input)
         t0 = time.time()
-        result = run_pipeline(
-            spark,
-            cfg,
-            tokenized,
-            strict=args.strict,
-            event_time=args.event_time,
-            repartition_by_source=args.repartition_by_source,
-        )
+        if args.text_input:
+            from cflog2otel_spark.operators.enrich import enrich
+            from cflog2otel_spark.sources.cf_text import read_cf_text
+
+            parsed = enrich(read_cf_text(spark, args.text_input, strict=args.strict))
+            result = run_pipeline_parsed(
+                spark, cfg, parsed, event_time=args.event_time
+            )
+        else:
+            from cflog2otel_spark.sources.tokenized import read_tokenized
+
+            tokenized = read_tokenized(spark, args.input)
+            result = run_pipeline(
+                spark,
+                cfg,
+                tokenized,
+                strict=args.strict,
+                event_time=args.event_time,
+                repartition_by_source=args.repartition_by_source,
+            )
         n_rows = None
         if args.checkpoint_dir:
             from cflog2otel_spark.lineage import write_run_manifest
