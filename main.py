@@ -115,7 +115,10 @@ def main(argv: list[str] | None = None) -> int:
         stats = {"elapsed_sec": round(dt, 3)}
         if n_rows is not None:
             stats.update({"rows": n_rows, "seq_per_sec": round(n_rows / dt, 1)})
-        print(json.dumps({"run": stats}), file=sys.stderr)
+        # spark-submit's PythonRunner can merge the child's stderr into
+        # stdout; keep --golden-stdout output pure JSON by skipping stats
+        if not args.golden_stdout:
+            print(json.dumps({"run": stats}), file=sys.stderr)
         result.unpersist()
         return 0
     finally:
