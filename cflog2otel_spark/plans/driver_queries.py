@@ -589,6 +589,33 @@ def o_emb_near_dup() -> str:
     """
 
 
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (rows-only check: the banded xxhash64
+    signature is not expressible in ANSI SQL; correctness is pinned by the
+    python-oracle tests in tests/test_training_ops.py)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs).select("a", "b")
+
+
+def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; hamming<=3 via 16-bit banding)."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs)
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only; the ANN path)."""
+    from ..operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_ann_topk(emb, qvec, k=20, n_bits=10, probe_hamming=2)
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -607,4 +634,8 @@ QUERIES = {
     "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
+    # rows-only entries (no ANSI-SQL oracle; python-oracle tested)
+    "docs_minhash_pairs": (q_docs_minhash_pairs, None),
+    "docs_simhash_neardup": (q_docs_simhash_neardup, None),
+    "emb_ann_topk": (q_emb_ann_topk, None),
 }
