@@ -1,0 +1,63 @@
+"""Scale-path plan assertions: partition pruning on the (source)-partitioned
+layout (what makes backfill/resume cheap at 100 TB) and broadcast dimension
+joins (no fact-side shuffle)."""
+
+from pyspark.sql import functions as F
+
+from cflog2otel_spark.sources.tokenized import read_cf_log_file, tokenized_df_from_lines
+
+from .conftest import CF_LOG, CF_LOG2, SOURCE1, SOURCE2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_partitioned_layout_prunes(spark, tmp_path):
+    """With the corpus laid out partitionBy(source) — the parquet stand-in
+    for Iceberg (source, hours(ts)) partitioning — a backfill/resume
+    source filter becomes a PartitionFilter: the scan never touches other
+    sources' files."""
+    _, l1 = read_cf_log_file(CF_LOG)
+    _, l2 = read_cf_log_file(CF_LOG2)
+    corpus = tokenized_df_from_lines(spark, l1, SOURCE1).union(
+        tokenized_df_from_lines(spark, l2, SOURCE2)
+    )
+    path = str(tmp_path / "part_corpus")
+    corpus.write.partitionBy("source").parquet(path)
+
+    filtered = spark.read.parquet(path).filter(F.col("source") == SOURCE1)
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and "source" in plan
+    # pruning is effective, not cosmetic: only SOURCE1's rows are read
+    assert filtered.count() == 6
+    # and the resume-style NOT IN list also prunes
+    from cflog2otel_spark.lineage import resume_filter
+    import json, os
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    with open(f"{mdir}/manifest_x.json", "w") as fh:
+        json.dump({"sources": {SOURCE1: {"status": "done"}}}, fh)
+    remaining = resume_filter(spark.read.parquet(path), mdir)
+    assert remaining.count() == 6
+    assert {r["source"] for r in remaining.select("source").distinct().collect()} == {SOURCE2}
+
+
+def test_dimension_join_broadcasts(spark, cf_fixture_df):
+    """broadcast_lookup must plan as BroadcastHashJoin — the fact side
+    never shuffles for a dimension enrichment."""
+    from cflog2otel_spark.operators.enrich import broadcast_lookup, enrich
+    from cflog2otel_spark.operators.parse import decode_and_parse
+
+    parsed = enrich(decode_and_parse(cf_fixture_df))
+    dim = spark.createDataFrame(
+        [("EMLARXS9EXAMPLE", "prod", "us-east-1")],
+        ["distribution_id", "env", "region"],
+    )
+    joined = broadcast_lookup(parsed, dim, on="distribution_id")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = joined.select("env", "region").distinct().collect()
+    assert [(r["env"], r["region"]) for r in rows] == [("prod", "us-east-1")]
