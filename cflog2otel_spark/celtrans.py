@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:\[\]])
     """,
     re.VERBOSE,
 )
@@ -182,7 +182,28 @@ class _Parser:
             op = self.next().text
             right, _ = self.add()
             return f"({left} {_CMP[op]} {right})", "bool"
+        if self.peek().text == "in":
+            # CEL `x in [a, b, c]` -> SQL IN list
+            self.next()
+            if self.peek().text != "[":
+                raise CELTranslationError(f"`in` requires a list literal in {self.src!r}")
+            items = self._list_literal()
+            return f"({left} IN ({', '.join(items)}))", "bool"
         return left, lt
+
+    def _list_literal(self) -> list[str]:
+        self.expect("[")
+        items: list[str] = []
+        if self.peek().text != "]":
+            while True:
+                e, _ = self.ternary()
+                items.append(e)
+                if self.peek().text == ",":
+                    self.next()
+                    continue
+                break
+        self.expect("]")
+        return items
 
     def add(self) -> tuple[str, str | None]:
         left, lt = self.mul()

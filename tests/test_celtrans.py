@@ -81,3 +81,26 @@ def test_validate_against_schema(spark):
 
     with pytest.raises(CELTranslationError):
         validate_against_schema(spark, {"bad": "nonexistent_col + 1"})
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        (
+            'log.csMethod in ["GET", "HEAD"]',
+            "(cs_method IN ('GET', 'HEAD'))",
+        ),
+        ("log.scStatus in [200, 304]", "(sc_status IN (200L, 304L))"),
+        (
+            '!(log.csMethod in ["POST"])',
+            "(NOT (cs_method IN ('POST')))",
+        ),
+    ],
+)
+def test_in_operator(cel, sql):
+    assert translate(cel) == sql
+
+
+def test_in_requires_list():
+    with pytest.raises(CELTranslationError, match="list literal"):
+        translate("log.csMethod in log.csHost")
