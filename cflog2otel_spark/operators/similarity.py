@@ -107,6 +107,61 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: KMeans over the embeddings; returns the table
+    with a `_cluster` column plus the centroid list. At scale the clustered
+    table is written partitioned by `_cluster`, so a probe reads only
+    n_probe partitions of the corpus (partition pruning = the inverted
+    file). Training samples the data (KMeans|| init, MLlib)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+    assigned = model.transform(feats).withColumnRenamed("prediction", "_cluster").drop(
+        "_features"
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only the n_probe clusters whose
+    centroids are closest to the query. Pass a prebuilt `index` to amortize
+    training across queries (the realistic serving shape)."""
+    assigned, centers = index if index is not None else ivf_index(
+        emb, n_clusters, id_col, vec_col, seed
+    )
+
+    def dist2(c: list[float]) -> float:
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
+    cand = assigned.filter(F.col("_cluster").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

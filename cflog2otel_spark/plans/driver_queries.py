@@ -616,6 +616,15 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, qvec, k=20, n_bits=10, probe_hamming=2)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse-quantizer) approximate top-k (rows-only)."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_ann_topk(emb, qvec, k=20, n_clusters=8, n_probe=3)
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -638,4 +647,5 @@ QUERIES = {
     "docs_minhash_pairs": (q_docs_minhash_pairs, None),
     "docs_simhash_neardup": (q_docs_simhash_neardup, None),
     "emb_ann_topk": (q_emb_ann_topk, None),
+    "emb_ivf_topk": (q_emb_ivf_topk, None),
 }

@@ -143,3 +143,18 @@ def test_text_analysis(spark, docs_df):
     assert 0.0 <= r0["quality"] <= 1.0
     assert out[0]["fingerprint"] == out[3]["fingerprint"]  # identical text
     assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_ivf_ann_topk(spark, emb_df):
+    """IVF probe of the nearest clusters must recover the true top
+    neighbor (vec 7 at cos~0.9999 of vec 0) and agree with brute force on
+    the head of the ranking."""
+    from cflog2otel_spark.operators.similarity import brute_force_topk, ivf_ann_topk, ivf_index
+
+    q = [float(x) for x in VECS[0]]
+    index = ivf_index(emb_df, n_clusters=4)
+    out = [r["vec_id"] for r in ivf_ann_topk(emb_df, q, k=3, index=index).collect()]
+    assert out[0] == 0 and 7 in out  # self + the planted near-dup
+    # head agreement with exact search
+    exact = [r["vec_id"] for r in brute_force_topk(emb_df, q, k=2).collect()]
+    assert out[:2] == exact
