@@ -11,7 +11,8 @@ and README examples):
   - member access on the four CEL namespaces (log, cloudfront, bucket, object)
   - literals: int, float, string ('..' or ".."), true/false/null
   - unary ! and -
-  - binary: == != < <= > >= && || + - * / %  and `in` is NOT supported
+  - binary: == != < <= > >= && || + - * / %
+  - `in` with a list literal (e.g. `log.scStatus in [301, 302]`)
   - ternary cond ? a : b
   - methods: .contains(s) .startsWith(s) .endsWith(s) .matches(re)
   - functions: double(x) int(x) string(x) size(x) bool? (no)

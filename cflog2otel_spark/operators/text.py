@@ -77,10 +77,11 @@ def lang_id(text: Column) -> Column:
     best = F.lit("und")
     best_score = F.lit(0)
     for lang, s in reversed(scores):  # earlier langs win ties -> apply last
-        cond = s > best_score
+        # >= with reversed order lets earlier-priority languages STEAL ties
+        # (first-maximal wins, like the oracle's en-first CASE chain); s > 0
+        # keeps 'und' when nothing matched at all
+        cond = (s >= best_score) & (s > 0)
         best = F.when(cond, F.lit(lang)).otherwise(best)
-        # note: best_score must use >= for later langs NOT to steal ties;
-        # reversed order + strict > gives first-lang-wins
         best_score = F.when(cond, s).otherwise(best_score)
     return best
 

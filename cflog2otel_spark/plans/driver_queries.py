@@ -436,7 +436,7 @@ def q_events_sum_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_events_sum_cents() -> str:
     return """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-             sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
              count(*) AS n
       FROM events GROUP BY 1, 2
     """
@@ -494,9 +494,9 @@ def o_docs_fingerprint() -> str:
         FROM documents
       )
       SELECT doc_id,
-             list_sum(list_transform(range(1, length(s) + 1),
+             CAST(list_sum(list_transform(range(1, length(s) + 1),
                i -> ascii(substr(s, CAST(i AS INT), 1)) * CAST(pow(31, (i - 1) % 8) AS BIGINT)
-             )) % 2147483647 AS fingerprint
+             )) % 2147483647 AS BIGINT) AS fingerprint
       FROM n
     """
 

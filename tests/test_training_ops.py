@@ -145,6 +145,24 @@ def test_text_analysis(spark, docs_df):
     assert out[0]["fingerprint"] != out[2]["fingerprint"]
 
 
+def test_lang_id_ties_break_to_first_language(spark):
+    """Tied marker scores must resolve to the FIRST language in
+    LANG_MARKERS order (en > es > fr > de), matching the oracle's
+    first-maximal CASE chain (ADVICE r1: reversed >-chain gave last-wins)."""
+    from cflog2otel_spark.operators.text import lang_id
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("la de la de", "es"),   # es==fr tie on 'la'/'de' -> es (earlier)
+        ("the el the el", "en"),  # en==es tie -> en
+        ("xyzzy", "und"),         # no markers at all
+        ("und die das ist", "de"),  # de alone
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == [want for _, want in rows]
+
+
 def test_ivf_ann_topk(spark, emb_df):
     """IVF probe of the nearest clusters must recover the true top
     neighbor (vec 7 at cos~0.9999 of vec 0) and agree with brute force on
