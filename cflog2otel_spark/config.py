@@ -99,7 +99,9 @@ class CELCapable:
     literal: Any = None
 
     @classmethod
-    def from_json(cls, v: Any, where: str, allow_cel: bool = True) -> "CELCapable":
+    def from_json(
+        cls, v: Any, where: str, allow_cel: bool = True, switch_zero: str | None = None
+    ) -> "CELCapable":
         if isinstance(v, dict):
             if not allow_cel:
                 # mirrors config.go:204-233
@@ -111,17 +113,22 @@ class CELCapable:
                 except CELTranslationError as exc:
                     raise ConfigError(f"{where}: {exc}") from exc
             if keys == {"switch"}:
-                return cls(sql=_switch_to_sql(v["switch"], where))
+                return cls(sql=_switch_to_sql(v["switch"], where, switch_zero))
             raise ConfigError(f"{where}: unknown object shape {sorted(keys)}")
         return cls(sql=_sql_literal(v), is_literal=True, literal=v)
 
 
-def _switch_to_sql(cases: Any, where: str) -> str:
-    """switch -> CASE WHEN; first true case wins, <=1 default, no match and
-    no default -> NULL (the reference returns the zero value; for attribute
-    values the zero string "" would be emitted — we keep NULL and the
-    aggregation layer drops NULL attrs, matching observed goldens where a
-    default is always present). Structure rules per cel.go:111-122, :168-219.
+def _switch_to_sql(cases: Any, where: str, zero_sql: str | None = None) -> str:
+    """switch -> CASE WHEN; first true case wins, <=1 default. With no match
+    and no default the reference returns the Go zero value of the field's
+    type parameter (cel.go:239-292, `return expr.switchDefault`):
+      - attributes are CELCapable[any] (config.go:42) -> zero is nil, and
+        ToAttributes drops nil values (app.go:415-424) -> SQL NULL, dropped
+        by the aggregation layer (zero_sql=None)
+      - filter is CELCapable[bool] (config.go:58) -> false
+      - value is CELCapable[float64] (config.go:59) -> 0.0 (the row still
+        aggregates, contributing 0)
+    Structure rules per cel.go:111-122, :168-219.
     """
     if not isinstance(cases, list) or not cases:
         raise ConfigError(f"{where}: switch must be a non-empty array")
@@ -160,6 +167,8 @@ def _switch_to_sql(cases: Any, where: str) -> str:
     if not whens:
         raise ConfigError(f"{where}: switch has no cases")
     parts = " ".join(f"WHEN {c} THEN {v}" for c, v in whens)
+    if default_sql is None:
+        default_sql = zero_sql  # typed zero value; None -> SQL NULL
     tail = f" ELSE {default_sql}" if default_sql is not None else ""
     return f"(CASE {parts}{tail} END)"
 
@@ -247,12 +256,14 @@ class MetricsConfig:
             for i, a in enumerate(d.get("attributes", []) or [])
         ]
         filt = (
-            CELCapable.from_json(d["filter"], f"{where}.filter")
+            CELCapable.from_json(d["filter"], f"{where}.filter", switch_zero="false")
             if d.get("filter") is not None
             else None
         )
         value = (
-            CELCapable.from_json(d["value"], f"{where}.value")
+            CELCapable.from_json(
+                d["value"], f"{where}.value", switch_zero="CAST(0.0 AS DOUBLE)"
+            )
             if d.get("value") is not None
             else None
         )

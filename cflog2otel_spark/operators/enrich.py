@@ -19,17 +19,57 @@ from pyspark.sql import functions as F
 _BASE = r"([^/]+)\.gz$"
 
 
-def parse_source_key(df: DataFrame, source_col: str = "source") -> DataFrame:
+def source_key_valid(source_col: str = "source") -> "F.Column":
+    """True iff the object key parses as {prefix}{distID}.{datehour}.{hash}.gz
+    (ParseCFStandardLogObjectKey, app.go:434-450)."""
+    base = F.regexp_extract(F.col(source_col), _BASE, 1)
+    return (base != "") & (F.size(F.split(base, r"\.", 3)) == 3)
+
+
+def parse_source_key(
+    df: DataFrame, source_col: str = "source", on_bad_key: str = "null"
+) -> DataFrame:
+    """Derive (distribution_id, datehour, object_hash) from the object key.
+
+    on_bad_key maps the reference's skip-or-fail (app.go:306-313):
+      - "null": context columns NULL for unparseable keys (lenient default
+        for non-S3 sources, e.g. --text-input local paths)
+      - "skip": drop every row of an unparseable-key file (the reference's
+        NoSkip=false file skip); with a source-partitioned layout the
+        filter prunes whole partitions
+      - error semantics (NoSkip=true) live in fail_on_bad_source_key so the
+        assert can ride a column the aggregates always consume
+    """
     base = F.regexp_extract(F.col(source_col), _BASE, 1)
     ok = base != ""
     # SplitN(".", 3): first two dots split, remainder (incl. dots) is hash
     parts = F.split(base, r"\.", 3)
     valid = ok & (F.size(parts) == 3)
+    if on_bad_key == "skip":
+        df = df.filter(valid)
     return (
         df.withColumn("distribution_id", F.when(valid, F.get(parts, 0)))
         .withColumn("datehour", F.when(valid, F.get(parts, 1)))
         .withColumn("object_hash", F.when(valid, F.get(parts, 2)))
     )
+
+
+def fail_on_bad_source_key(
+    df: DataFrame, source_col: str = "source", guard_col: str = "timestamp"
+) -> DataFrame:
+    """no_skip=true (app.go:306-313): error the run when any row's object
+    key is unparseable. The assert is attached to `guard_col` (every
+    aggregation consumes `timestamp`) so Catalyst column pruning can never
+    drop it, and it costs no extra scan — it fails in-dataflow at the first
+    bad row."""
+    msg = F.concat(
+        F.lit("failed to parse object key: "),
+        F.coalesce(F.col(source_col), F.lit("<null>")),
+    )
+    guarded = F.when(
+        F.assert_true(source_key_valid(source_col), msg).isNull(), F.col(guard_col)
+    )
+    return df.withColumn(guard_col, guarded)
 
 
 def with_context(
@@ -51,8 +91,8 @@ def with_context(
     )
 
 
-def enrich(df: DataFrame, **context) -> DataFrame:
-    return with_context(parse_source_key(df), **context)
+def enrich(df: DataFrame, on_bad_key: str = "null", **context) -> DataFrame:
+    return with_context(parse_source_key(df, on_bad_key=on_bad_key), **context)
 
 
 def broadcast_lookup(

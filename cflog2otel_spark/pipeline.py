@@ -60,18 +60,33 @@ def run_pipeline(
     cache: str = "memory_and_disk",
     keep_payload: bool = True,
     event_time: str | None = None,
+    trigger_source: str | None = None,
     repartition_by_source: bool = False,
 ) -> PipelineResult:
     """Run every metric config over a tokenized-sequence DataFrame.
 
     `event_time` + cfg.backfill enable the per-line lateness gate
     (app.go:354-361): rows with event_time - timestamp > tolerance drop.
+    Pass `trigger_source` to exempt the trigger object's own lines — the
+    reference applies the line gate only inside the sibling re-read loop,
+    never to the trigger file (app.go:324 keeps all trigger lines). Without
+    it the gate is coarse (every row gated) — a documented deviation for
+    callers that don't know the trigger.
     `repartition_by_source` pre-shuffles on (source, hour(ts)) to align with
     an Iceberg (source, hours(ts)) layout so downstream window aggregations
     mostly combine map-side.
     """
     parsed = decode_and_parse(tokenized, strict=strict, keep_payload=keep_payload)
-    parsed = enrich(parsed)
+    # skip-or-fail on unparseable object keys (app.go:306-313): NoSkip=true
+    # errors the run at the first bad key; otherwise the file's rows are
+    # skipped, mirroring the reference's per-file skip
+    if cfg.no_skip:
+        from .operators.enrich import fail_on_bad_source_key
+
+        parsed = enrich(parsed)
+        parsed = fail_on_bad_source_key(parsed)
+    else:
+        parsed = enrich(parsed, on_bad_key="skip")
     return run_pipeline_parsed(
         spark,
         cfg,
@@ -79,6 +94,7 @@ def run_pipeline(
         cache=cache,
         keep_payload=keep_payload,
         event_time=event_time,
+        trigger_source=trigger_source,
         repartition_by_source=repartition_by_source,
     )
 
@@ -90,6 +106,7 @@ def run_pipeline_parsed(
     cache: str = "memory_and_disk",
     keep_payload: bool = True,
     event_time: str | None = None,
+    trigger_source: str | None = None,
     repartition_by_source: bool = False,
 ) -> PipelineResult:
     """Fan-out over an already-parsed+enriched record set (shared by the
@@ -98,14 +115,16 @@ def run_pipeline_parsed(
 
     if cfg.backfill.enabled and event_time is not None:
         tol = cfg.backfill.time_tolerance_seconds
-        parsed = parsed.filter(
-            F.col("timestamp").isNotNull()
-            & (
-                F.unix_timestamp(F.lit(event_time).cast("timestamp"))
-                - F.unix_timestamp(F.col("timestamp"))
-                <= F.lit(tol)
-            )
+        line_ok = F.col("timestamp").isNotNull() & (
+            F.unix_timestamp(F.lit(event_time).cast("timestamp"))
+            - F.unix_timestamp(F.col("timestamp"))
+            <= F.lit(tol)
         )
+        if trigger_source is not None:
+            # the trigger object's own lines are never line-gated
+            # (app.go:324 vs :354-361 — the gate lives in the sibling loop)
+            line_ok = (F.col("source") == F.lit(trigger_source)) | line_ok
+        parsed = parsed.filter(line_ok)
 
     needed = _referenced_columns(cfg)
     payload = ["doc_id", "tokens", "n_tok", "source"] if keep_payload else []

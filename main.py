@@ -37,6 +37,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
     ap.add_argument("--strict", action="store_true", help="fail on malformed rows (reference semantics)")
     ap.add_argument("--event-time", help="backfill event time (ISO), enables the lateness gate")
+    ap.add_argument(
+        "--trigger-source",
+        help="object key of the triggering file; its lines are exempt from "
+        "the line gate (app.go:324) and it anchors sibling discovery",
+    )
+    ap.add_argument(
+        "--manifest",
+        help="JSON file mapping object key -> LastModified (the S3 listing); "
+        "with --trigger-source and --event-time this runs the reference's "
+        "full object+line backfill gate (app.go:322-368)",
+    )
     ap.add_argument("--repartition-by-source", action="store_true")
     ap.add_argument("--config-validate-only", action="store_true")
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
@@ -74,27 +85,56 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
-        from cflog2otel_spark.pipeline import run_pipeline, run_pipeline_parsed, write_sinks
+        from cflog2otel_spark.pipeline import run_pipeline_parsed, write_sinks
 
+        use_manifest = bool(
+            args.manifest and args.trigger_source and args.event_time
+            and cfg.backfill.enabled
+        )
         t0 = time.time()
         if args.text_input:
             from cflog2otel_spark.operators.enrich import enrich
             from cflog2otel_spark.sources.cf_text import read_cf_text
 
             parsed = enrich(read_cf_text(spark, args.text_input, strict=args.strict))
-            result = run_pipeline_parsed(
-                spark, cfg, parsed, event_time=args.event_time
-            )
         else:
+            from cflog2otel_spark.operators.enrich import enrich, fail_on_bad_source_key
+            from cflog2otel_spark.operators.parse import decode_and_parse
             from cflog2otel_spark.sources.tokenized import read_tokenized
 
-            tokenized = read_tokenized(spark, args.input)
-            result = run_pipeline(
+            parsed = decode_and_parse(
+                read_tokenized(spark, args.input), strict=args.strict
+            )
+            if cfg.no_skip:
+                parsed = fail_on_bad_source_key(enrich(parsed))
+            else:
+                parsed = enrich(parsed, on_bad_key="skip")
+        if use_manifest:
+            # full object+line gate: sibling objects admitted by the
+            # LastModified manifest, their lines by the lateness gate, the
+            # trigger's lines unconditionally (app.go:322-368)
+            from cflog2otel_spark.operators.backfill import backfill_select
+
+            with open(args.manifest) as fh:
+                manifest = json.load(fh)
+            parsed = backfill_select(
+                parsed,
+                args.trigger_source,
+                args.event_time,
+                cfg.backfill.time_tolerance_seconds,
+                manifest,
+            )
+            result = run_pipeline_parsed(
+                spark, cfg, parsed,
+                repartition_by_source=args.repartition_by_source,
+            )
+        else:
+            result = run_pipeline_parsed(
                 spark,
                 cfg,
-                tokenized,
-                strict=args.strict,
+                parsed,
                 event_time=args.event_time,
+                trigger_source=args.trigger_source,
                 repartition_by_source=args.repartition_by_source,
             )
         n_rows = None

@@ -108,3 +108,21 @@ def test_backfill_defaults():
         {"metrics": [{"name": "x"}], "backfill": {"enabled": True}}
     )
     assert c.backfill.time_tolerance_seconds == 3600.0  # config.go:329-331
+
+
+def test_switch_zero_values():
+    """No-match-no-default returns the typed Go zero value (cel.go:239-292):
+    NULL for attributes (any -> nil, dropped per app.go:415-424), false for
+    filter (bool), 0.0 for value (float64)."""
+    c = Config.from_json(_base({
+        "name": "x",
+        "type": "Sum",
+        "value": {"switch": [{"case": {"expr": "log.scStatus >= 500"}, "value": 1.5}]},
+        "filter": {"switch": [{"case": {"expr": "log.scStatus >= 200"}, "value": True}]},
+        "attributes": [{"key": "k", "value": {"switch": [
+            {"case": {"expr": "log.scStatus >= 500"}, "value": "err"}]}}],
+    }))
+    m = c.metrics[0]
+    assert m.value.sql.endswith("ELSE CAST(0.0 AS DOUBLE) END)")
+    assert m.filter.sql.endswith("ELSE false END)")
+    assert m.attributes[0].value.sql.endswith("THEN 'err' END)")  # no ELSE -> NULL
