@@ -380,11 +380,23 @@ class Config:
 
     @classmethod
     def load(cls, path: str) -> "Config":
-        with open(path) as fh:
+        """Load a config file. `.json` parses as plain JSON; anything else
+        (the reference's native `.jsonnet` surface, jsonnet.go:45-233)
+        evaluates through the bundled jsonnet subset with the cel/switch/
+        env/must_env/json_escape/base64_encode natives registered."""
+        if path.endswith(".json"):
+            with open(path) as fh:
+                try:
+                    d = json.load(fh)
+                except json.JSONDecodeError as exc:
+                    raise ConfigError(f"{path}: invalid JSON: {exc}") from exc
+        else:
+            from .jsonnet_min import JsonnetError, evaluate_file
+
             try:
-                d = json.load(fh)
-            except json.JSONDecodeError as exc:
-                raise ConfigError(f"{path}: invalid JSON: {exc}") from exc
+                d = evaluate_file(path)
+            except JsonnetError as exc:
+                raise ConfigError(str(exc)) from exc
         return cls.from_json(d)
 
     def validate_expressions(self, spark) -> None:

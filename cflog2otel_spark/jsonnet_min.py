@@ -1,0 +1,565 @@
+"""Minimal jsonnet evaluator for config loading.
+
+The reference loads every config through a go-jsonnet VM with six native
+functions registered (/root/reference/jsonnet.go:45-233): cel, switch,
+env, must_env, json_escape, base64_encode. This module evaluates the
+jsonnet subset those configs (and the README examples) exercise, entirely
+in Python — no external jsonnet binding required:
+
+  - // , # and /* */ comments
+  - local bindings, including function bindings
+    (`local f(a, b) = expr;`) and anonymous `function(x) expr`
+  - object / array / string ('' or "") / number / true / false / null
+    literals, trailing commas
+  - arithmetic + - * / % with jsonnet precedence, unary ! and -,
+    comparisons, == !=, && ||, if/then/else
+  - string concatenation via + (either side a string, like jsonnet),
+    array concatenation, shallow object merge
+  - field access a.b, indexing a[i], function calls
+  - std.native(name) plus the std functions the reference's configs use
+    (map, range, filter, length, join, toString)
+
+Anything outside the subset raises JsonnetError with a position, which
+Config.load wraps into ConfigError — the reference's invalid_syntax.jsonnet
+(missing semicolon after a local bind) fails here exactly as go-jsonnet
+does.
+
+Native function semantics mirror jsonnet.go:
+  env(name, default)   -> os.environ value, or `default` when empty/unset
+                          (jsonnet.go:99-119 uses os.Getenv: empty == unset)
+  must_env(name)       -> value, error when unset (jsonnet.go:81-97)
+  json_escape(s)       -> JSON string literal of s (jsonnet.go:121-139)
+  base64_encode(s)     -> std base64 (jsonnet.go:141-160)
+  cel(expr)            -> {"expr": expr} (jsonnet.go:162-179)
+  switch(cases)        -> {"switch": [...]} with case/value fields
+                          normalized to case / value_expr / default_expr
+                          strings (jsonnet.go:181-238)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import re
+from typing import Any
+
+
+class JsonnetError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ lexer --
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|\#[^\n]*|/\*.*?\*/)
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+  | (?P<op>\|\||&&|==|!=|<=|>=|[{}\[\]():;,.=+\-*/%<>!])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_KEYWORDS = {"local", "function", "if", "then", "else", "true", "false", "null",
+             "import", "importstr", "self", "super", "assert", "error", "in",
+             "tailstrict"}
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\", "/": "/"}
+
+
+def _unquote(raw: str) -> str:
+    body = raw[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 1
+            e = body[i]
+            if e == "u":
+                out.append(chr(int(body[i + 1 : i + 5], 16)))
+                i += 5
+                continue
+            if e not in _ESCAPES:
+                raise JsonnetError(f"unsupported escape \\{e}")
+            out.append(_ESCAPES[e])
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _tokenize(src: str) -> list[tuple[str, str, int]]:
+    toks: list[tuple[str, str, int]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            line = src.count("\n", 0, pos) + 1
+            raise JsonnetError(f"line {line}: unexpected character {src[pos]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        text = m.group()
+        line = src.count("\n", 0, m.start()) + 1
+        if kind == "ident" and text in _KEYWORDS:
+            kind = text
+        toks.append((kind, text, line))
+    toks.append(("eof", "", src.count("\n") + 1))
+    return toks
+
+
+# ----------------------------------------------------------------- parser --
+# Produces a tiny AST of tuples: ('num', v) ('str', v) ('true'|'false'|'null',)
+# ('ident', name) ('local', [(name, params|None, expr)], body) ('obj', fields)
+# ('arr', items) ('call', fn, args) ('index', obj, key) ('field', obj, name)
+# ('fn', params, body) ('if', c, t, e) ('bin', op, l, r) ('un', op, x)
+
+_BIN_LEVELS = [
+    {"||"},
+    {"&&"},
+    {"==", "!="},
+    {"<", "<=", ">", ">="},
+    {"+", "-"},
+    {"*", "/", "%"},
+]
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str, int]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str, int]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str, int]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> tuple[str, str, int]:
+        k, v, line = self.next()
+        if k != kind or (text is not None and v != text):
+            want = text or kind
+            raise JsonnetError(f"line {line}: expected {want!r}, got {v!r}")
+        return k, v, line
+
+    def parse(self) -> Any:
+        e = self.expr()
+        k, v, line = self.peek()
+        if k != "eof":
+            raise JsonnetError(f"line {line}: trailing input at {v!r}")
+        return e
+
+    def expr(self) -> Any:
+        k, v, line = self.peek()
+        if k == "local":
+            self.next()
+            binds = [self._bind()]
+            while self.peek()[:2] == ("op", ","):
+                self.next()
+                binds.append(self._bind())
+            self.expect("op", ";")
+            return ("local", binds, self.expr())
+        if k == "if":
+            self.next()
+            cond = self.expr()
+            self.expect("then")
+            then = self.expr()
+            els = ("null",)
+            if self.peek()[0] == "else":
+                self.next()
+                els = self.expr()
+            return ("if", cond, then, els)
+        if k == "function":
+            self.next()
+            return ("fn", self._params(), self.expr())
+        if k in ("import", "importstr", "self", "super", "assert", "error"):
+            raise JsonnetError(f"line {line}: {k!r} is not supported")
+        return self._binary(0)
+
+    def _bind(self) -> tuple[str, list[str] | None, Any]:
+        _, name, _ = self.expect("ident")
+        params = None
+        if self.peek()[:2] == ("op", "("):
+            params = self._params()
+        self.expect("op", "=")
+        return (name, params, self.expr())
+
+    def _params(self) -> list[str]:
+        self.expect("op", "(")
+        params: list[str] = []
+        while self.peek()[:2] != ("op", ")"):
+            params.append(self.expect("ident")[1])
+            if self.peek()[:2] == ("op", ","):
+                self.next()
+        self.expect("op", ")")
+        return params
+
+    def _binary(self, level: int) -> Any:
+        if level == len(_BIN_LEVELS):
+            return self._unary()
+        left = self._binary(level + 1)
+        while True:
+            k, v, _ = self.peek()
+            if k == "op" and v in _BIN_LEVELS[level]:
+                self.next()
+                right = self._binary(level + 1)
+                left = ("bin", v, left, right)
+            else:
+                return left
+
+    def _unary(self) -> Any:
+        k, v, _ = self.peek()
+        if k == "op" and v in ("!", "-", "+"):
+            self.next()
+            return ("un", v, self._unary())
+        return self._postfix()
+
+    def _postfix(self) -> Any:
+        e = self._primary()
+        while True:
+            k, v, line = self.peek()
+            if (k, v) == ("op", "."):
+                self.next()
+                _, name, _ = self.expect("ident")
+                e = ("field", e, name)
+            elif (k, v) == ("op", "("):
+                self.next()
+                args: list[Any] = []
+                while self.peek()[:2] != ("op", ")"):
+                    args.append(self.expr())
+                    if self.peek()[:2] == ("op", ","):
+                        self.next()
+                self.expect("op", ")")
+                e = ("call", e, args)
+            elif (k, v) == ("op", "["):
+                self.next()
+                idx = self.expr()
+                self.expect("op", "]")
+                e = ("index", e, idx)
+            elif (k, v) == ("op", "{"):
+                raise JsonnetError(
+                    f"line {line}: object composition (expr {{...}}) is not supported"
+                )
+            else:
+                return e
+
+    def _primary(self) -> Any:
+        k, v, line = self.next()
+        if k == "number":
+            return ("num", float(v) if ("." in v or "e" in v or "E" in v) else int(v))
+        if k == "string":
+            return ("str", _unquote(v))
+        if k in ("true", "false", "null"):
+            return (k,)
+        if k == "ident":
+            return ("ident", v)
+        if (k, v) == ("op", "("):
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if (k, v) == ("op", "["):
+            items: list[Any] = []
+            while self.peek()[:2] != ("op", "]"):
+                items.append(self.expr())
+                if self.peek()[:2] == ("op", ","):
+                    self.next()
+            self.expect("op", "]")
+            return ("arr", items)
+        if (k, v) == ("op", "{"):
+            fields: list[tuple[Any, Any]] = []
+            while self.peek()[:2] != ("op", "}"):
+                fk, fv, fline = self.next()
+                if fk == "ident":
+                    key: Any = ("str", fv)
+                elif fk == "string":
+                    key = ("str", _unquote(fv))
+                elif (fk, fv) == ("op", "["):
+                    key = self.expr()
+                    self.expect("op", "]")
+                else:
+                    raise JsonnetError(f"line {fline}: bad object key {fv!r}")
+                self.expect("op", ":")
+                fields.append((key, self.expr()))
+                if self.peek()[:2] == ("op", ","):
+                    self.next()
+            self.expect("op", "}")
+            return ("obj", fields)
+        raise JsonnetError(f"line {line}: unexpected token {v!r}")
+
+
+# -------------------------------------------------------------- evaluator --
+
+
+class _Fn:
+    __slots__ = ("params", "body", "env", "name")
+
+    def __init__(self, params, body, env, name="anonymous"):
+        self.params, self.body, self.env, self.name = params, body, env, name
+
+
+def _truthy(v: Any) -> bool:
+    if not isinstance(v, bool):
+        raise JsonnetError(f"condition must be boolean, got {type(v).__name__}")
+    return v
+
+
+def _to_str(v: Any) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (int, float)):
+        return str(v)
+    return json.dumps(v)
+
+
+def _add(a: Any, b: Any) -> Any:
+    if isinstance(a, str) or isinstance(b, str):
+        return _to_str(a) + _to_str(b)
+    if isinstance(a, list) and isinstance(b, list):
+        return a + b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return {**a, **b}
+    return a + b
+
+
+def _eval(node: Any, env: dict[str, Any]) -> Any:
+    op = node[0]
+    if op == "num":
+        return node[1]
+    if op == "str":
+        return node[1]
+    if op == "true":
+        return True
+    if op == "false":
+        return False
+    if op == "null":
+        return None
+    if op == "ident":
+        name = node[1]
+        scope = env
+        while scope is not None:
+            if name in scope:
+                return scope[name]
+            scope = scope.get("__parent__")
+        raise JsonnetError(f"unknown variable {name!r}")
+    if op == "local":
+        child: dict[str, Any] = {"__parent__": env}
+        for name, params, expr in node[1]:
+            child[name] = (
+                _Fn(params, expr, child, name) if params is not None else _eval(expr, child)
+            )
+        return _eval(node[2], child)
+    if op == "obj":
+        out = {}
+        for key_node, val_node in node[1]:
+            key = _eval(key_node, env)
+            if not isinstance(key, str):
+                raise JsonnetError("object key must be a string")
+            out[key] = _eval(val_node, env)
+        return out
+    if op == "arr":
+        return [_eval(x, env) for x in node[1]]
+    if op == "if":
+        return _eval(node[2] if _truthy(_eval(node[1], env)) else node[3], env)
+    if op == "fn":
+        return _Fn(node[1], node[2], env)
+    if op == "field":
+        obj = _eval(node[1], env)
+        if isinstance(obj, dict):
+            if node[2] in obj:
+                return obj[node[2]]
+            if isinstance(obj, _Std):
+                raise JsonnetError(f"std.{node[2]} is not supported")
+        raise JsonnetError(f"field {node[2]!r} not found")
+    if op == "index":
+        obj = _eval(node[1], env)
+        idx = _eval(node[2], env)
+        if isinstance(obj, list):
+            return obj[int(idx)]
+        if isinstance(obj, dict):
+            return obj[idx]
+        raise JsonnetError(f"cannot index {type(obj).__name__}")
+    if op == "call":
+        fn = _eval(node[1], env)
+        args = [_eval(a, env) for a in node[2]]
+        return _apply(fn, args)
+    if op == "un":
+        v = _eval(node[2], env)
+        if node[1] == "!":
+            return not _truthy(v)
+        if node[1] == "-":
+            return -v
+        return +v
+    if op == "bin":
+        o = node[1]
+        if o == "&&":
+            return _truthy(_eval(node[2], env)) and _truthy(_eval(node[3], env))
+        if o == "||":
+            return _truthy(_eval(node[2], env)) or _truthy(_eval(node[3], env))
+        a, b = _eval(node[2], env), _eval(node[3], env)
+        if o == "+":
+            return _add(a, b)
+        if o == "-":
+            return a - b
+        if o == "*":
+            return a * b
+        if o == "/":
+            return a / b  # jsonnet division is float division
+        if o == "%":
+            if isinstance(a, str):
+                raise JsonnetError("%-formatting is not supported")
+            return a % b
+        if o == "==":
+            return a == b
+        if o == "!=":
+            return a != b
+        if o == "<":
+            return a < b
+        if o == "<=":
+            return a <= b
+        if o == ">":
+            return a > b
+        if o == ">=":
+            return a >= b
+    raise JsonnetError(f"unsupported construct {op!r}")  # pragma: no cover
+
+
+def _apply(fn: Any, args: list[Any]) -> Any:
+    if callable(fn) and not isinstance(fn, _Fn):
+        return fn(*args)
+    if not isinstance(fn, _Fn):
+        raise JsonnetError(f"not callable: {type(fn).__name__}")
+    if len(args) != len(fn.params):
+        raise JsonnetError(
+            f"{fn.name}: expected {len(fn.params)} argument(s), got {len(args)}"
+        )
+    child = {"__parent__": fn.env, **dict(zip(fn.params, args))}
+    return _eval(fn.body, child)
+
+
+# ------------------------------------------------------- native functions --
+
+
+def _cast_cel_expr(value: Any) -> str | None:
+    """jsonnet.go castCELExpr: a {"expr": "<string>"} single-key map."""
+    if isinstance(value, dict) and set(value.keys()) == {"expr"} and isinstance(
+        value["expr"], str
+    ):
+        return value["expr"]
+    return None
+
+
+def _native_switch(cases: Any) -> dict:
+    if not isinstance(cases, list):
+        raise JsonnetError(f"switch: invalid arguments, expected array got {type(cases).__name__}")
+    out = []
+    default_count = 0
+    for c in cases:
+        if not isinstance(c, dict):
+            raise JsonnetError("switch: invalid arguments, expected object case")
+        if "case" not in c:
+            if "default" not in c:
+                raise JsonnetError("switch: invalid arguments, expected string case")
+            default_count += 1
+            de = _cast_cel_expr(c["default"])
+            out.append({"default_expr": de} if de is not None else {"default": c["default"]})
+            continue
+        ce = _cast_cel_expr(c["case"])
+        if ce is None:
+            raise JsonnetError("switch: case must be a CEL expression")
+        if "value" not in c:
+            raise JsonnetError("switch: invalid arguments, need value")
+        ve = _cast_cel_expr(c["value"])
+        if ve is not None:
+            out.append({"case": ce, "value_expr": ve})
+        else:
+            out.append({"case": ce, "value": c["value"]})
+    if default_count > 1:
+        raise JsonnetError("switch: multiple default values in switch")
+    return {"switch": out}
+
+
+_NATIVES: dict[str, Any] = {
+    "cel": lambda expr: {"expr": expr},
+    "switch": _native_switch,
+    "env": lambda name, default: os.environ.get(name, "") or default,
+    "must_env": None,  # bound below (needs the error)
+    "json_escape": lambda s: json.dumps(s),
+    "base64_encode": lambda s: base64.b64encode(
+        s.encode() if isinstance(s, str) else bytes(s)
+    ).decode(),
+}
+
+
+def _must_env(name: str) -> str:
+    if name not in os.environ:
+        raise JsonnetError(f"must_env: {name} not set")
+    return os.environ[name]
+
+
+_NATIVES["must_env"] = _must_env
+
+
+def _std_native(name: str) -> Any:
+    if name not in _NATIVES:
+        raise JsonnetError(f"native function {name!r} is not registered")
+    return _NATIVES[name]
+
+
+_STD = {
+    "native": _std_native,
+    "map": lambda fn, arr: [_apply(fn, [x]) for x in arr],
+    "filter": lambda fn, arr: [x for x in arr if _truthy(_apply(fn, [x]))],
+    "range": lambda lo, hi: list(range(int(lo), int(hi) + 1)),
+    "length": lambda x: len(x),
+    "join": lambda sep, arr: sep.join(arr),
+    "toString": _to_str,
+}
+
+
+class _Std(dict):
+    def __missing__(self, key):  # pragma: no cover - defensive
+        raise JsonnetError(f"std.{key} is not supported")
+
+
+def evaluate(src: str, filename: str = "<jsonnet>") -> Any:
+    """Evaluate a jsonnet source string to a plain JSON value."""
+    try:
+        ast = _Parser(_tokenize(src)).parse()
+        root_env: dict[str, Any] = {"std": _Std(_STD), "__parent__": None}
+        value = _eval(ast, root_env)
+    except JsonnetError as exc:
+        raise JsonnetError(f"{filename}: {exc}") from exc
+    except RecursionError as exc:  # pragma: no cover - defensive
+        raise JsonnetError(f"{filename}: recursion limit exceeded") from exc
+    return _manifest(value)
+
+
+def _manifest(v: Any) -> Any:
+    """Force to JSON-able (functions cannot appear in the output)."""
+    if isinstance(v, _Fn) or callable(v):
+        raise JsonnetError("function values cannot appear in the output")
+    if isinstance(v, dict):
+        return {k: _manifest(x) for k, x in v.items() if k != "__parent__"}
+    if isinstance(v, list):
+        return [_manifest(x) for x in v]
+    return v
+
+
+def evaluate_file(path: str) -> Any:
+    with open(path) as fh:
+        return evaluate(fh.read(), filename=path)

@@ -12,7 +12,7 @@ from cflog2otel_spark.config import Config
 from cflog2otel_spark.golden import diff_golden, encode_golden, load_reference_golden
 from cflog2otel_spark.pipeline import run_pipeline
 
-from .conftest import CONFIGS, FIXTURES
+from .conftest import CONFIGS, FIXTURES, REFERENCE
 
 GOLDEN_CONFIGS = [
     "request_count_by_status_category",
@@ -29,7 +29,10 @@ GOLDEN_CONFIGS = [
 
 @pytest.mark.parametrize("name", GOLDEN_CONFIGS)
 def test_golden(spark, cf_fixture_df, name):
-    cfg = Config.load(f"{CONFIGS}/{name}.json")
+    # the reference's own .jsonnet config loaded VERBATIM (jsonnet_min with
+    # the cel/switch natives), proven identical to the hand-ported JSON
+    cfg = Config.load(f"{REFERENCE}/testdata/{name}.jsonnet")
+    assert cfg == Config.load(f"{CONFIGS}/{name}.json")
     result = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
     ours = encode_golden(result, cfg)
     theirs = load_reference_golden(f"{FIXTURES}/{name}.golden.json")

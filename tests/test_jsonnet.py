@@ -1,0 +1,135 @@
+"""jsonnet config loading (reference jsonnet.go:45-233, config_test.go:11-31).
+
+The 9 valid reference .jsonnet configs must load verbatim and equal the
+hand-ported JSON; the invalid_* files must fail with the matching error
+kind. Native function semantics (env/must_env/json_escape/base64_encode/
+cel/switch) mirror jsonnet.go. No Spark needed anywhere here.
+"""
+
+import pytest
+
+from cflog2otel_spark.config import Config, ConfigError
+from cflog2otel_spark.jsonnet_min import JsonnetError, evaluate
+
+from .conftest import CONFIGS, REFERENCE
+
+VALID = [
+    "backfil_config",
+    "multi_metrics",
+    "request_count_by_status_category",
+    "request_count_for_5xx",
+    "request_count_for_5xx_is_cumlative",
+    "request_time_histogram",
+    "request_time_histogram_custom_buckets",
+    "switch_case",
+    "switch_with_cel_value",
+]
+
+
+@pytest.mark.parametrize("name", VALID)
+def test_reference_jsonnet_loads_verbatim(name):
+    cfg = Config.load(f"{REFERENCE}/testdata/{name}.jsonnet")
+    assert cfg == Config.load(f"{CONFIGS}/{name}.json")
+
+
+def test_invalid_files_fail_like_the_reference():
+    # config_test.go:11-31 — each invalid_* file fails with a distinct kind
+    with pytest.raises(ConfigError, match="unknown log field"):
+        Config.load(f"{REFERENCE}/testdata/invalid_cel.jsonnet")
+    with pytest.raises(ConfigError, match="cannot use CEL native function"):
+        Config.load(f"{REFERENCE}/testdata/invalid_not_cel_capable.jsonnet")
+    with pytest.raises(ConfigError):  # syntax error (missing semicolon)
+        Config.load(f"{REFERENCE}/testdata/invalid_syntax.jsonnet")
+    with pytest.raises(ConfigError, match="unknown field"):
+        Config.load(f"{REFERENCE}/testdata/invalid_unknown_field.jsonnet")
+
+
+def test_custom_buckets_function_evaluates():
+    cfg = Config.load(
+        f"{REFERENCE}/testdata/request_time_histogram_custom_buckets.jsonnet"
+    )
+    assert cfg.metrics[0].boundaries == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0]
+    assert cfg.metrics[0].interval_seconds == 300.0
+
+
+def test_cel_and_switch_natives():
+    out = evaluate(
+        """
+        local cel = std.native('cel');
+        local switch = std.native('switch');
+        {
+          a: cel('log.scStatus >= 500'),
+          b: switch([
+            { case: cel('true'), value: 'x' },
+            { case: cel('false'), value: cel('log.csUriStem') },
+            { default: cel('log.xHostHeader') },
+          ]),
+        }
+        """
+    )
+    assert out["a"] == {"expr": "log.scStatus >= 500"}
+    # jsonnet.go:181-238: cel-shaped value -> value_expr, default -> default_expr
+    assert out["b"] == {
+        "switch": [
+            {"case": "true", "value": "x"},
+            {"case": "false", "value_expr": "log.csUriStem"},
+            {"default_expr": "log.xHostHeader"},
+        ]
+    }
+    with pytest.raises(JsonnetError, match="multiple default"):
+        evaluate(
+            "local switch = std.native('switch');"
+            "switch([{default: 'a'}, {default: 'b'}])"
+        )
+    with pytest.raises(JsonnetError, match="case must be a CEL expression"):
+        evaluate(
+            "local switch = std.native('switch');"
+            "switch([{case: 'plain string', value: 1}])"
+        )
+
+
+def test_env_natives(monkeypatch):
+    monkeypatch.setenv("CFLOG_TEST_VAR", "hello")
+    monkeypatch.delenv("CFLOG_TEST_MISSING", raising=False)
+    src = """
+      local env = std.native('env');
+      local must_env = std.native('must_env');
+      { a: env('CFLOG_TEST_VAR', 'dflt'),
+        b: env('CFLOG_TEST_MISSING', 'dflt'),
+        c: must_env('CFLOG_TEST_VAR') }
+    """
+    assert evaluate(src) == {"a": "hello", "b": "dflt", "c": "hello"}
+    with pytest.raises(JsonnetError, match="must_env: CFLOG_TEST_MISSING not set"):
+        evaluate("local f = std.native('must_env'); f('CFLOG_TEST_MISSING')")
+
+
+def test_encode_natives():
+    src = """
+      local json_escape = std.native('json_escape');
+      local base64_encode = std.native('base64_encode');
+      { j: json_escape('a"b'), b: base64_encode('hello') }
+    """
+    assert evaluate(src) == {"j": '"a\\"b"', "b": "aGVsbG8="}
+
+
+def test_language_subset():
+    assert evaluate("1 + 2 * 3") == 7
+    assert evaluate("'a' + 1") == "a1"  # jsonnet string coercion
+    assert evaluate("[1] + [2]") == [1, 2]
+    assert evaluate("{a: 1} + {a: 2, b: 3}") == {"a": 2, "b": 3}
+    assert evaluate("if 2 > 1 then 'y' else 'n'") == "y"
+    assert evaluate("if false then 'y'") is None
+    assert evaluate("local f(x) = x * x; std.map(f, std.range(0, 3))") == [0, 1, 4, 9]
+    assert evaluate(
+        "std.filter(function(x) x % 2 == 0, std.range(1, 6))"
+    ) == [2, 4, 6]
+    assert evaluate("std.join('-', ['a', 'b'])") == "a-b"
+    assert evaluate("// comment\n# also\n/* block */ 42") == 42
+    assert evaluate("local a = 1, b = a + 1; b") == 2
+    assert evaluate("{['k' + 1]: true}") == {"k1": True}
+    with pytest.raises(JsonnetError, match="unknown variable"):
+        evaluate("nope")
+    with pytest.raises(JsonnetError, match="not supported"):
+        evaluate("import 'x.libsonnet'")
+    with pytest.raises(JsonnetError, match="std.thisDoesNotExist"):
+        evaluate("std.thisDoesNotExist(1)")
