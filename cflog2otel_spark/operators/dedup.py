@@ -18,12 +18,32 @@ results are deterministic across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: (x mod p) * a stays under 2^62, so the universal
 # hash never overflows int64 (ANSI mode would raise on overflow)
 MERSENNE_P = (1 << 31) - 1
+
+
+def _drop_over_cap_buckets(
+    entries: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Skew cap: drop every row of buckets wider than max_bucket.
+
+    groupBy-count + broadcast ANTI-join instead of a window count: the
+    window shape shuffles the full signature-carrying rows a second time
+    just to count them; the groupBy shuffles only (keys, partial-count) —
+    map-side combined — and the over-cap key set is by construction tiny
+    (the handful of boilerplate hot buckets), so it broadcasts.
+    """
+    over_cap = (
+        entries.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bw"))
+        .filter(F.col("_bw") > max_bucket)
+        .select(*keys)
+    )
+    return entries.join(F.broadcast(over_cap), keys, "left_anti")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -137,10 +157,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("a_id", "_sig", "bb.band", "bb.bucket")
 
-    w = Window.partitionBy("band", "bucket")
-    band_entries = band_entries.withColumn("_bw", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bw") <= max_bucket
-    )
+    band_entries = _drop_over_cap_buckets(band_entries, ["band", "bucket"], max_bucket)
 
     left = band_entries.select("band", "bucket", F.col("a_id"), F.col("_sig").alias("_siga"))
     right = band_entries.select(
@@ -257,8 +274,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bc"),
     ).select(id_col, "_sh", "bc.band", "bc.chunk")
-    w = Window.partitionBy("band", "chunk")
-    chunks = chunks.withColumn("_bw", F.count(F.lit(1)).over(w)).filter(F.col("_bw") <= max_bucket)
+    chunks = _drop_over_cap_buckets(chunks, ["band", "chunk"], max_bucket)
     a = chunks.select("band", "chunk", F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = chunks.select("band", "chunk", F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     ham = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))

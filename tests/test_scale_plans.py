@@ -61,3 +61,19 @@ def test_dimension_join_broadcasts(spark, cf_fixture_df):
     assert "SortMergeJoin" not in plan
     rows = joined.select("env", "region").distinct().collect()
     assert [(r["env"], r["region"]) for r in rows] == [("prod", "us-east-1")]
+
+
+def test_bucket_cap_is_broadcast_anti_join_not_window(spark):
+    """The LSH skew cap must not shuffle the signature-carrying exploded
+    rows twice: the over-cap bucket set is a groupBy-count (map-side
+    combined) + broadcast anti-join, never a Window over the full rows."""
+    from cflog2otel_spark.operators.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated text body number {i % 3} with shared shingles here") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    for pairs in (minhash_lsh_pairs(docs), simhash_near_dup_pairs(docs)):
+        plan = _plan(pairs)
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
