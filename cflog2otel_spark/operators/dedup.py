@@ -46,6 +46,18 @@ def _drop_over_cap_buckets(
     return entries.join(F.broadcast(over_cap), keys, "left_anti")
 
 
+def hash60(col: Column) -> Column:
+    """Engine-stable 60-bit hash: the first 15 hex chars of md5, parsed as
+    an integer. md5 is bit-identical everywhere, so the DuckDB oracle can
+    reproduce every downstream LSH value exactly (xxhash64, the fast JVM
+    default, exists only in Spark)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _base_hash(col: Column, engine_stable: bool) -> Column:
+    return hash60(col) if engine_stable else F.abs(F.xxhash64(col))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per identical text. One hash-shuffle on the digest
     (never on the full text bytes — digest first, 16 bytes per row)."""
@@ -88,9 +100,13 @@ def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MERSENNE_P - 1) | 1, rng.randrange(0, MERSENNE_P - 1)) for _ in range(k)]
 
 
-def minhash_signature(shingle_arr: Column, k: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingle_arr: Column, k: int = 32, seed: int = 42, engine_stable: bool = False
+) -> Column:
     """k-wide MinHash signature over a shingle array. Base hash is xxhash64
-    (stable in Spark); permutations are (a*x+b) mod p.
+    (fast, JVM) or the md5-derived hash60 when engine_stable (so the DuckDB
+    oracle reproduces the signature bit-for-bit); permutations are
+    (a*x+b) mod p.
 
     Single aggregate pass: fold over the base hashes updating a k-wide
     running-minimum array against a FOLDABLE params literal — k separate
@@ -103,7 +119,7 @@ def minhash_signature(shingle_arr: Column, k: int = 32, seed: int = 42) -> Colum
             for a, b in _hash_params(k, seed)
         ]
     )
-    base = F.transform(shingle_arr, lambda s: F.abs(F.xxhash64(s)))
+    base = F.transform(shingle_arr, lambda s: _base_hash(s, engine_stable))
     init = F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), k)
     return F.aggregate(
         base,
@@ -127,6 +143,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     seed: int = 42,
+    engine_stable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -134,10 +151,25 @@ def minhash_lsh_pairs(
     wider than `max_bucket` are dropped (boilerplate guard — the skew cap
     that keeps a 100 TB self-join from exploding on one hot bucket).
     Returns (a, b, jaccard_est) with a < b, deduped across bands.
+
+    engine_stable swaps xxhash64 for hash60 (base) and a polynomial fold
+    (band bucket) so the whole candidate set is reproducible in ANSI SQL.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed)
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed, engine_stable)
     with_sig = docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig"))
+
+    def bucket_col(b: int) -> Column:
+        if not engine_stable:
+            return F.xxhash64(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+            )
+        # polynomial fold over the band's signature rows (values < p, so
+        # acc*31 + v < 2^36 — no overflow before each mod)
+        acc = F.get(F.col("_sig"), b * rows_per_band)
+        for i in range(1, rows_per_band):
+            acc = (acc * 31 + F.get(F.col("_sig"), b * rows_per_band + i)) % MERSENNE_P
+        return acc
 
     band_entries = with_sig.select(
         "a_id",
@@ -145,12 +177,7 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_col(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -207,11 +234,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
+def simhash64(text: Column, shingle_n: int = 2, engine_stable: bool = False) -> Column:
     """64-bit SimHash over word shingles: per-bit majority vote of shingle
-    hashes, fully JVM-side (aggregate over bit projections)."""
+    hashes, fully JVM-side (aggregate over bit projections). engine_stable
+    uses hash60 (bits 60-63 then always 0 — a 60-bit simhash) so the DuckDB
+    oracle computes the identical value."""
     sh = shingles(text, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(
+        sh, lambda s: hash60(s) if engine_stable else F.xxhash64(s)
+    )
     # ONE aggregate pass updating a 64-wide vote array per hash — the
     # transform-over-bits-with-aggregate-inside shape would re-evaluate the
     # hash array (and the shingle split under it) 64 times per row.
@@ -252,11 +283,14 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    engine_stable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (any pair within distance 3 shares at least one exact 16-bit
     chunk — pigeonhole), then exact popcount verify."""
-    sh = docs.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sh"))
+    sh = docs.select(
+        F.col(id_col), simhash64(F.col(text_col), engine_stable=engine_stable).alias("_sh")
+    )
     chunks = sh.select(
         id_col,
         "_sh",

@@ -20,6 +20,8 @@ Exactness rules for cross-engine equality:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -586,10 +588,15 @@ def o_docs_lang_quality() -> str:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane LSH near-dup (equi-joins + verify, NO cross join)
+    against the exact all-pairs oracle — the band count is auto-sized so
+    the per-pair miss probability at threshold 0.4 is < 1e-12, i.e. the
+    bucketed candidate set deterministically covers every qualifying pair
+    of this corpus."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
 def o_emb_near_dup() -> str:
@@ -605,40 +612,229 @@ def o_emb_near_dup() -> str:
     """
 
 
+# ---------------------------------------------------------- LSH oracles ---
+# The LSH/ANN oracles replicate the MECHANISM in ANSI SQL, not just the
+# result: signatures, band buckets, probe sets, and cluster assignments are
+# recomputed by DuckDB from the same deterministic literals (hash60 = md5
+# prefix; hyperplanes/permutations from seeded generators embedded in the
+# generated SQL). Floats cross engines as string-parsed DOUBLE literals
+# (exact IEEE round trip).
+
+# driver gate runs at sf0.01; the IVF oracle's centroids are data-derived,
+# so its SQL generator reads the same table the gate queries
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+_INDEX_CACHE = os.environ.get(
+    "CFLOG_INDEX_CACHE", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".cache")
+)
+
+_H60 = (
+    "CAST(list_sum(list_transform(range(1,16), j -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), CAST(j AS INT), 1)) - 1)"
+    " * CAST(pow(16, 15-j) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _dbl_arr(vals: list[float]) -> str:
+    """Exact DOUBLE[] literal: string-parsed per element (a bare decimal
+    literal would land as DECIMAL and round differently)."""
+    return "[" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + "]"
+
+
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (rows-only check: the banded xxhash64
-    signature is not expressible in ANSI SQL; correctness is pinned by the
-    python-oracle tests in tests/test_training_ops.py)."""
+    """MinHash-LSH candidate pairs, engine-stable hashes (hash60 base,
+    polynomial band bucket) so the DuckDB oracle rebuilds the identical
+    banded candidate set; the xxhash64 default stays python-oracle tested."""
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs).select("a", "b")
+    return minhash_lsh_pairs(docs, engine_stable=True)
+
+
+def o_docs_minhash_pairs() -> str:
+    from ..operators.dedup import MERSENNE_P, _hash_params
+
+    k, bands, rpb, max_bucket = 32, 8, 4, 1000
+    params = _hash_params(k, 42)
+    h = _H60.format(x="x")
+    sig_elems = ", ".join(
+        f"CASE WHEN len(h) = 0 THEN {MERSENNE_P} ELSE list_min(list_transform(h, "
+        f"z -> (z % {MERSENNE_P} * {a} + {b}) % {MERSENNE_P})) END"
+        for a, b in params
+    )
+
+    def bucket(b: int) -> str:
+        acc = f"sg[{b * rpb + 1}]"
+        for i in range(1, rpb):
+            acc = f"(({acc}) * 31 + sg[{b * rpb + i + 1}]) % {MERSENNE_P}"
+        return acc
+
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, sg, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return rf"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(
+          list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ) ELSE [] END s FROM toks
+      ),
+      hs AS (SELECT doc_id, list_transform(s, x -> {h}) h FROM sh),
+      sig AS (SELECT doc_id, [{sig_elems}] sg FROM hs),
+      bands AS ({band_union}),
+      over_cap AS (
+        SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) > {max_bucket}
+      ),
+      capped AS (SELECT b.* FROM bands b ANTI JOIN over_cap o USING (band, bucket))
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             min(CAST(len(list_filter(range(1, {k + 1}), i -> l.sg[i] = r.sg[i])) AS DOUBLE) / {k}.0) AS jaccard_est
+      FROM capped l JOIN capped r USING (band, bucket)
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    """
 
 
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; hamming<=3 via 16-bit banding)."""
+    """SimHash near-dup pairs, hamming<=3 via 4x16-bit pigeonhole banding +
+    popcount verify. engine_stable simhash (hash60 base) lets the oracle
+    compute identical signatures; the oracle then checks ALL pairs at
+    hamming<=3 — equivalent by pigeonhole as long as no 16-bit chunk bucket
+    exceeds the cap (impossible at gate scale: 500 docs < max_bucket)."""
     from ..operators.dedup import simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dup_pairs(docs)
+    return simhash_near_dup_pairs(docs, engine_stable=True)
+
+
+def o_docs_simhash_neardup() -> str:
+    h = _H60.format(x="x")
+    return rf"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 2 THEN list_distinct(
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        ) ELSE [] END s FROM toks
+      ),
+      hs AS (SELECT doc_id, list_transform(s, x -> {h}) h FROM sh),
+      sim AS (
+        SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 60), bit ->
+          CASE WHEN CAST(len(list_filter(h, z -> ((z >> CAST(bit AS INT)) & 1) = 1)) AS BIGINT) * 2
+                    > CAST(len(h) AS BIGINT)
+          THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END
+        )), 0) AS BIGINT) sm FROM hs
+      )
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             bit_count(xor(l.sm, r.sm)) AS hamming
+      FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.sm, r.sm)) <= 3
+    """
 
 
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (rows-only; the ANN path)."""
-    from ..operators.similarity import lsh_ann_topk
+    """Hyperplane-LSH approximate top-k over a PERSISTED signature index
+    (the scan reads the precomputed _sig column; no per-query re-hash of
+    the corpus). Oracle: the identical signature + hamming-probe + rescore
+    mechanism in SQL (planes are seed-deterministic literals)."""
+    from ..operators.similarity import lsh_ann_topk, lsh_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    idx = lsh_index(emb, f"{_INDEX_CACHE}/lsh_{sf_name}", n_bits=10)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_ann_topk(emb, qvec, k=20, n_bits=10, probe_hamming=2)
+    return lsh_ann_topk(emb, qvec, k=20, n_bits=10, probe_hamming=2, index=idx)
+
+
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def o_emb_ann_topk() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 10, 42)
+    sig = " + ".join(
+        f"CASE WHEN list_dot_product({{v}}, {_dbl_arr(p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i, p in enumerate(planes)
+    )
+    cos = _COS.format(a="s.v", b="q.qv")
+    return f"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s AS (SELECT vec_id, v, ({sig.format(v="v")}) AS sg FROM e),
+      q AS (SELECT v AS qv, sg AS qsg FROM s WHERE vec_id = 0)
+      SELECT s.vec_id, {cos} AS cos_sim
+      FROM s, q
+      WHERE bit_count(xor(s.sg, q.qsg)) <= 2
+      ORDER BY cos_sim DESC, s.vec_id
+      LIMIT 20
+    """
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse-quantizer) approximate top-k (rows-only)."""
-    from ..operators.similarity import ivf_ann_topk
+    """IVF approximate top-k probing a PREBUILT index: the corpus is
+    materialized partitioned by _cluster (ivf_write_index), so the probe
+    reads n_probe/8 of the table via partition pruning — no KMeans.fit in
+    the query plan (centroids are deterministic numpy k-means, trained once
+    per sf_dir)."""
+    from ..operators.similarity import ivf_ann_topk, ivf_write_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    index = ivf_write_index(emb, f"{_INDEX_CACHE}/ivf_{sf_name}", n_clusters=8)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_ann_topk(emb, qvec, k=20, n_clusters=8, n_probe=3)
+    return ivf_ann_topk(None, qvec, k=20, n_probe=3, index=index)
+
+
+def o_emb_ivf_topk() -> str:
+    """Generated against the gate's table (_ORACLE_SF_DIR): embeds the same
+    deterministic centroids and probe set the Spark query uses, and
+    re-derives every row's cluster assignment in SQL (first-minimal argmin,
+    matching _cluster_col's strict-< chain)."""
+    import duckdb
+
+    from ..operators.similarity import _kmeans_numpy
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = [r[1] for r in rows]
+    centers = _kmeans_numpy(vecs, 8, 42)
+    qvec = next(r[1] for r in rows if r[0] == 0)
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, qvec))
+
+    probe = sorted(range(len(centers)), key=lambda i: d2(centers[i]))[:3]
+    dists = ", ".join(
+        f"CAST('{sum(x * x for x in c)!r}' AS DOUBLE) - 2.0 * list_dot_product(v, {_dbl_arr(c)})"
+        for c in centers
+    )
+    cos = _COS.format(a="a.v", b="q.qv")
+    return f"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      a AS (
+        SELECT vec_id, v,
+               list_position([{dists}], list_min([{dists}])) - 1 AS cl
+        FROM e
+      ),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT a.vec_id, {cos} AS cos_sim
+      FROM a, q
+      WHERE a.cl IN ({", ".join(str(p) for p in probe)})
+      ORDER BY cos_sim DESC, a.vec_id
+      LIMIT 20
+    """
 
 
 QUERIES = {
@@ -659,9 +855,8 @@ QUERIES = {
     "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
-    # rows-only entries (no ANSI-SQL oracle; python-oracle tested)
-    "docs_minhash_pairs": (q_docs_minhash_pairs, None),
-    "docs_simhash_neardup": (q_docs_simhash_neardup, None),
-    "emb_ann_topk": (q_emb_ann_topk, None),
-    "emb_ivf_topk": (q_emb_ivf_topk, None),
+    "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
+    "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),
+    "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
+    "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
 }

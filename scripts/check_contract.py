@@ -51,6 +51,8 @@ def rows_normalized(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # data-derived oracle generators (IVF centroids) must target this table
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry

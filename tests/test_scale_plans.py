@@ -77,3 +77,31 @@ def test_bucket_cap_is_broadcast_anti_join_not_window(spark):
         plan = _plan(pairs)
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_registered_similarity_queries_are_scale_shaped(spark):
+    """VERDICT r1: no cross join and no per-query index (re)build in any
+    registered similarity query. near-dup plans as equi-joins only; the IVF
+    probe partition-prunes the materialized cluster layout; the LSH probe
+    scans the persisted _sig column straight from parquet."""
+    from cflog2otel_spark.plans.driver_queries import (
+        q_emb_ann_topk, q_emb_ivf_topk, q_emb_near_dup)
+
+    sf = "/root/testdata/sf0.001"
+    nd = q_emb_near_dup(spark, sf)
+    plan = _plan(nd)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    ivf = q_emb_ivf_topk(spark, sf)
+    plan = _plan(ivf)
+    assert "PartitionFilters" in plan and "_cluster" in plan
+    assert ivf.count() == 20
+
+    ann = q_emb_ann_topk(spark, sf)
+    plan = _plan(ann)
+    # the signature filter reads the persisted _sig column; the hyperplane
+    # dot products (zip_with folds) appear only for the final rescore, so
+    # the hamming predicate must reference the scanned column
+    assert "_sig" in plan
+    assert ann.count() == 20
