@@ -26,26 +26,69 @@ def _rfc3339(dt: datetime) -> str:
     return dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def _attrs_json(pairs) -> list[dict]:
+def _coerce(v: str, t: str):
+    """Canonical string -> typed JSON value (Go attribute.Value marshals
+    Int64/Float64/Bool as JSON numbers/bools, app.go:399-412)."""
+    if t == "INT64":
+        return int(v)
+    if t == "FLOAT64":
+        return float(v)
+    if t == "BOOL":
+        return v == "true"
+    return v
+
+
+def _attrs_json(pairs, types: dict[str, str] | None = None) -> list[dict]:
+    types = types or {}
     return [
-        {"Key": p["key"], "Value": {"Type": "STRING", "Value": p["value"]}}
+        {
+            "Key": p["key"],
+            "Value": {
+                "Type": types.get(p["key"], "STRING"),
+                "Value": _coerce(p["value"], types.get(p["key"], "STRING")),
+            },
+        }
         for p in pairs
     ]
+
+
+def _attr_type_maps(result: PipelineResult, config) -> tuple[dict, dict[str, dict]]:
+    """(resource-attr types, metric name -> attr types) from the translated
+    expressions' static Spark types (ToAttribute, app.go:399-412)."""
+    from .operators.aggregate import attribute_types
+
+    res_t = {
+        a.key: t
+        for a, t in zip(
+            config.resource_attributes,
+            attribute_types(result.parsed, config.resource_attributes),
+        )
+        if t
+    }
+    per_metric = {}
+    for m in config.metrics:
+        per_metric[m.name] = {
+            a.key: t
+            for a, t in zip(m.attributes, attribute_types(result.parsed, m.attributes))
+            if t
+        }
+    return res_t, per_metric
 
 
 def encode_golden(result: PipelineResult, config) -> list[dict]:
     """Collect sinks -> list of ResourceMetrics JSON trees (usually one)."""
     by_resource: dict[str, dict] = {}
+    res_types, metric_types = _attr_type_maps(result, config)
     ordered_names = sorted(result.sinks, key=lambda n: result.metric_index[n])
     for name in ordered_names:
         m = config.metrics[result.metric_index[name]]
         rows = [r.asDict(recursive=True) for r in result.sinks[name].collect()]
         for row in rows:
-            rkey = json.dumps(_attrs_json(row["resource_attrs"]), sort_keys=True)
+            rkey = json.dumps(_attrs_json(row["resource_attrs"], res_types), sort_keys=True)
             res = by_resource.setdefault(
                 rkey,
                 {
-                    "Resource": _attrs_json(row["resource_attrs"]),
+                    "Resource": _attrs_json(row["resource_attrs"], res_types),
                     "ScopeMetrics": [
                         {
                             "Scope": {
@@ -72,7 +115,7 @@ def encode_golden(result: PipelineResult, config) -> list[dict]:
                 }
                 metrics.append(metric)
             dp: dict[str, Any] = {
-                "Attributes": _attrs_json(row["attrs"]),
+                "Attributes": _attrs_json(row["attrs"], metric_types[name]),
                 "StartTime": _rfc3339(row["window_start"]),
                 "Time": _rfc3339(row["window_end"]),
             }
@@ -121,9 +164,22 @@ def encode_otlp(result: PipelineResult, config) -> list[dict]:
     oneof wrappers: value.Value.StringValue, dp.Value.AsInt/AsDouble;
     aggregation_temporality 1=delta, 2=cumulative."""
 
-    def attrs(pairs):
+    _ONEOF = {"STRING": "StringValue", "BOOL": "BoolValue",
+              "INT64": "IntValue", "FLOAT64": "DoubleValue"}
+
+    def attrs(pairs, types: dict[str, str] | None = None):
+        types = types or {}
         return [
-            {"key": p["key"], "value": {"Value": {"StringValue": p["value"]}}}
+            {
+                "key": p["key"],
+                "value": {
+                    "Value": {
+                        _ONEOF[types.get(p["key"], "STRING")]: _coerce(
+                            p["value"], types.get(p["key"], "STRING")
+                        )
+                    }
+                },
+            }
             for p in pairs
         ]
 
@@ -133,15 +189,16 @@ def encode_otlp(result: PipelineResult, config) -> list[dict]:
         return int(dt.timestamp() * 1_000_000_000)
 
     by_resource: dict[str, dict] = {}
+    res_types, metric_types = _attr_type_maps(result, config)
     ordered_names = sorted(result.sinks, key=lambda n: result.metric_index[n])
     for name in ordered_names:
         m = config.metrics[result.metric_index[name]]
         for row in (r.asDict(recursive=True) for r in result.sinks[name].collect()):
-            rkey = json.dumps(attrs(row["resource_attrs"]), sort_keys=True)
+            rkey = json.dumps(attrs(row["resource_attrs"], res_types), sort_keys=True)
             res = by_resource.setdefault(
                 rkey,
                 {
-                    "resource": {"attributes": attrs(row["resource_attrs"])},
+                    "resource": {"attributes": attrs(row["resource_attrs"], res_types)},
                     "scope_metrics": [{"scope": {}, "metrics": []}],
                 },
             )
@@ -180,7 +237,7 @@ def encode_otlp(result: PipelineResult, config) -> list[dict]:
                 sm["metrics"].append(metric)
             dp: dict[str, Any] = {}
             if row["attrs"]:
-                dp["attributes"] = attrs(row["attrs"])
+                dp["attributes"] = attrs(row["attrs"], metric_types[name])
             dp["start_time_unix_nano"] = nanos(row["window_start"])
             dp["time_unix_nano"] = nanos(row["window_end"])
             if m.type == "Count":

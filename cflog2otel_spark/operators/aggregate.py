@@ -34,6 +34,43 @@ from ..config import Config, MetricsConfig
 # seconds from 0001-01-01T00:00:00Z (Go time.Time zero) to the Unix epoch
 GO_ZERO_EPOCH_OFFSET = 62135596800
 
+# ToAttribute (app.go:399-412): string/int64/float64/bool become typed OTel
+# attributes; anything else warns and drops the attribute (ok=false)
+_OTEL_TYPE_BY_SPARK = {
+    "string": "STRING",
+    "boolean": "BOOL",
+    "double": "FLOAT64",
+    "float": "FLOAT64",
+    "bigint": "INT64",
+    "int": "INT64",
+    "smallint": "INT64",
+    "tinyint": "INT64",
+}
+
+
+def attribute_types(parsed: DataFrame, attrs) -> list[str | None]:
+    """Static OTel type per attribute config, from the translated
+    expression's Spark type against the parsed schema (one analysis call,
+    no job). None = unsupported -> the attribute is dropped entirely,
+    mirroring ToAttribute's ok=false skip."""
+    if not attrs:
+        return []
+    probe = parsed.select(
+        *[F.expr(a.value.sql).alias(f"__t{i}") for i, a in enumerate(attrs)]
+    )
+    types = []
+    for (_, dt), a in zip(probe.dtypes, attrs):
+        base = dt.split("(")[0]
+        t = _OTEL_TYPE_BY_SPARK.get(base)
+        if t is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unsupported attribute type %s for key %s — dropped", dt, a.key
+            )
+        types.append(t)
+    return types
+
 
 def _duration_str(seconds: float) -> str:
     ms = round(seconds * 1000)
@@ -81,14 +118,29 @@ def aggregate_metric(
         df = df.filter(F.expr(m.filter.sql))
     df = df.filter(F.col("timestamp").isNotNull())
 
-    res_pairs = [(a.key, f"__res_{i}") for i, a in enumerate(cfg.resource_attributes)]
-    attr_pairs = [(a.key, f"__attr_{i}") for i, a in enumerate(m.attributes)]
+    # unsupported-typed attributes drop from the set entirely (ToAttribute
+    # ok=false, app.go:408-412) — with the supported CEL surface every
+    # expression is scalar, so this is a guard, not a hot path
+    res_types = attribute_types(parsed, cfg.resource_attributes)
+    attr_types = attribute_types(parsed, m.attributes)
+    res_pairs = [
+        (a.key, f"__res_{i}")
+        for i, a in enumerate(cfg.resource_attributes)
+        if res_types[i] is not None
+    ]
+    attr_pairs = [
+        (a.key, f"__attr_{i}")
+        for i, a in enumerate(m.attributes)
+        if attr_types[i] is not None
+    ]
     proj = [
         F.expr(a.value.sql).cast("string").alias(f"__res_{i}")
         for i, a in enumerate(cfg.resource_attributes)
+        if res_types[i] is not None
     ] + [
         F.expr(a.value.sql).cast("string").alias(f"__attr_{i}")
         for i, a in enumerate(m.attributes)
+        if attr_types[i] is not None
     ]
     if m.value is not None:
         proj.append(F.expr(m.value.sql).cast("double").alias("__value"))

@@ -166,3 +166,45 @@ def test_sum_is_monotonic_from_config(spark):
     assert out[0]["value"] == 6.0
     assert out[0]["is_monotonic"] is False
     assert out[0]["temporality"] == "DeltaTemporality"
+
+
+def test_typed_attributes(spark, cf_fixture_df):
+    """Non-string CEL attribute values emit typed OTel attributes
+    (ToAttribute, app.go:399-412): Int64/Float64/Bool, not stringified.
+    Hand-computed expectation (no golden exercises typed attrs)."""
+    from cflog2otel_spark.config import Config
+    from cflog2otel_spark.golden import encode_golden, encode_otlp
+    from cflog2otel_spark.pipeline import run_pipeline
+
+    cfg = Config.from_json(
+        {
+            "scope": {"name": "t"},
+            "metrics": [
+                {
+                    "name": "typed",
+                    "type": "Count",
+                    "interval": "1h",
+                    "attributes": [
+                        {"key": "code", "value": {"expr": "log.scStatus"}},
+                        {"key": "is5xx", "value": {"expr": "log.scStatus >= 500"}},
+                        {"key": "t2", "value": {"expr": "log.timeTaken * 2.0"}},
+                        {"key": "cat", "value": {"expr": "log.scStatusCategory"}},
+                    ],
+                }
+            ],
+        }
+    )
+    result = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
+    tree = encode_golden(result, cfg)[0]
+    dps = tree["ScopeMetrics"][0]["Metrics"][0]["Data"]["DataPoints"]
+    by_key = {a["Key"]: a["Value"] for a in dps[0]["Attributes"]}
+    assert by_key["code"]["Type"] == "INT64" and isinstance(by_key["code"]["Value"], int)
+    assert by_key["is5xx"]["Type"] == "BOOL" and isinstance(by_key["is5xx"]["Value"], bool)
+    assert by_key["t2"]["Type"] == "FLOAT64" and isinstance(by_key["t2"]["Value"], (int, float))
+    assert by_key["cat"]["Type"] == "STRING" and isinstance(by_key["cat"]["Value"], str)
+
+    req = encode_otlp(result, cfg)[0]
+    dp0 = req["resource_metrics"][0]["scope_metrics"][0]["metrics"][0]["Data"]["Sum"]["data_points"][0]
+    oneofs = {a["key"]: next(iter(a["value"]["Value"])) for a in dp0["attributes"]}
+    assert oneofs == {"code": "IntValue", "is5xx": "BoolValue",
+                      "t2": "DoubleValue", "cat": "StringValue"}
