@@ -91,6 +91,24 @@ def with_context(
     )
 
 
+def with_event_context(df: DataFrame, ctx: dict) -> DataFrame:
+    """Bind the full S3-event CEL context (bucket.* and object.* namespaces,
+    cel.go:48-69) as literal columns — from sources.events.s3_record_context.
+    Constant-folded by Catalyst; zero runtime cost."""
+    typed = {
+        "bucket_name": "string",
+        "bucket_arn": "string",
+        "bucket_owner_principal_id": "string",
+        "object_size": "bigint",
+        "object_etag": "string",
+        "object_version_id": "string",
+        "object_sequencer": "string",
+    }
+    for col, t in typed.items():
+        df = df.withColumn(col, F.lit(ctx.get(col)).cast(t))
+    return df
+
+
 def enrich(df: DataFrame, on_bad_key: str = "null", **context) -> DataFrame:
     return with_context(parse_source_key(df, on_bad_key=on_bad_key), **context)
 

@@ -48,6 +48,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "with --trigger-source and --event-time this runs the reference's "
         "full object+line backfill gate (app.go:322-368)",
     )
+    ap.add_argument(
+        "--s3-event",
+        help="Lambda event JSON file (raw S3 notification, or SQS/SNS-"
+        "wrapped); unwrapped per app.go:58-203 — each S3 record becomes a "
+        "trigger: its key scopes the scan (partition pruning), its "
+        "eventTime drives the backfill gate, bucket/object fields bind the "
+        "CEL context",
+    )
     ap.add_argument("--repartition-by-source", action="store_true")
     ap.add_argument("--config-validate-only", action="store_true")
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
@@ -109,14 +117,54 @@ def main(argv: list[str] | None = None) -> int:
                 parsed = fail_on_bad_source_key(enrich(parsed))
             else:
                 parsed = enrich(parsed, on_bad_key="skip")
-        if use_manifest:
+        manifest = None
+        if args.manifest:
+            with open(args.manifest) as fh:
+                manifest = json.load(fh)
+
+        results = []
+        if args.s3_event:
+            # Lambda-event entry (app.go:179-203): unwrap SQS/SNS wrapping,
+            # each S3 record scopes one run to its object (plus manifest-
+            # gated siblings when backfill is enabled)
+            from pyspark.sql import functions as F
+
+            from cflog2otel_spark.operators.backfill import backfill_select
+            from cflog2otel_spark.operators.enrich import with_event_context
+            from cflog2otel_spark.sources.events import (
+                collect_s3_records, s3_record_context)
+
+            with open(args.s3_event) as fh:
+                records = collect_s3_records(fh.read())
+            if not records:
+                print("no s3 notifications, skipping", file=sys.stderr)
+                return 0
+            for rec in records:
+                ctx = s3_record_context(rec)
+                scoped = with_event_context(parsed, ctx)
+                if cfg.backfill.enabled and manifest is not None:
+                    scoped = backfill_select(
+                        scoped, ctx["source"], ctx["event_time"],
+                        cfg.backfill.time_tolerance_seconds, manifest,
+                    )
+                else:
+                    if cfg.backfill.enabled:
+                        print(
+                            "backfill enabled but no --manifest: sibling "
+                            "discovery skipped, processing the trigger "
+                            "object only", file=sys.stderr,
+                        )
+                    scoped = scoped.filter(F.col("source") == ctx["source"])
+                results.append(run_pipeline_parsed(
+                    spark, cfg, scoped,
+                    repartition_by_source=args.repartition_by_source,
+                ))
+        elif use_manifest:
             # full object+line gate: sibling objects admitted by the
             # LastModified manifest, their lines by the lateness gate, the
             # trigger's lines unconditionally (app.go:322-368)
             from cflog2otel_spark.operators.backfill import backfill_select
 
-            with open(args.manifest) as fh:
-                manifest = json.load(fh)
             parsed = backfill_select(
                 parsed,
                 args.trigger_source,
@@ -124,19 +172,20 @@ def main(argv: list[str] | None = None) -> int:
                 cfg.backfill.time_tolerance_seconds,
                 manifest,
             )
-            result = run_pipeline_parsed(
+            results.append(run_pipeline_parsed(
                 spark, cfg, parsed,
                 repartition_by_source=args.repartition_by_source,
-            )
+            ))
         else:
-            result = run_pipeline_parsed(
+            results.append(run_pipeline_parsed(
                 spark,
                 cfg,
                 parsed,
                 event_time=args.event_time,
                 trigger_source=args.trigger_source,
                 repartition_by_source=args.repartition_by_source,
-            )
+            ))
+        result = results[0]
         n_rows = None
         if args.checkpoint_dir:
             from cflog2otel_spark.lineage import write_run_manifest
@@ -145,12 +194,17 @@ def main(argv: list[str] | None = None) -> int:
                 spark, result, args.checkpoint_dir, input_path=args.input
             )
         if args.out:
-            write_sinks(result, args.out, fmt=args.format)
+            # one invocation per S3 record (reference exports per
+            # notification); sinks get an index suffix when there are many
+            for i, res in enumerate(results):
+                out = args.out if len(results) == 1 else f"{args.out}/record_{i}"
+                write_sinks(res, out, fmt=args.format)
         if args.golden_stdout:
             from cflog2otel_spark.golden import encode_golden
 
-            for tree in encode_golden(result, cfg):
-                print(json.dumps(tree, indent=2))
+            for res in results:
+                for tree in encode_golden(res, cfg):
+                    print(json.dumps(tree, indent=2))
         dt = time.time() - t0
         stats = {"elapsed_sec": round(dt, 3)}
         if n_rows is not None:
@@ -159,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
         # stdout; keep --golden-stdout output pure JSON by skipping stats
         if not args.golden_stdout:
             print(json.dumps({"run": stats}), file=sys.stderr)
-        result.unpersist()
+        for res in results:
+            res.unpersist()
         return 0
     finally:
         spark.stop()

@@ -1,0 +1,113 @@
+"""SQS/SNS/S3 event unwrapping (app.go:58-203) — parity with the
+reference's TestUnwrapEvent_* (app_test.go:152-170) plus the SNS forms the
+Go code handles, and a CLI e2e where the Lambda event scopes the run to the
+trigger object and still matches the reference golden."""
+
+import json
+import subprocess
+import sys
+
+from cflog2otel_spark.sources.events import (
+    collect_s3_records,
+    s3_record_context,
+    unwrap_event,
+)
+
+from .conftest import CF_LOG, CF_LOG2, CONFIGS, REFERENCE, SOURCE1, SOURCE2
+
+S3_NOTIFICATION = f"{REFERENCE}/testdata/s3_notification.json"
+SQS_EVENT = f"{REFERENCE}/testdata/sqs_event.json"
+
+
+def _read(path):
+    with open(path) as fh:
+        return fh.read()
+
+
+def test_unwrap_s3_notification_passes_through():
+    # app_test.go:152-159
+    raw = _read(S3_NOTIFICATION)
+    out = unwrap_event(raw)
+    assert len(out) == 1
+    assert json.loads(out[0] if isinstance(out[0], str) else json.dumps(out[0])) == json.loads(raw)
+
+
+def test_unwrap_sqs_event_yields_inner_s3_notification():
+    # app_test.go:161-170
+    out = unwrap_event(_read(SQS_EVENT))
+    assert len(out) == 1
+    assert json.loads(out[0]) == json.loads(_read(S3_NOTIFICATION))
+
+
+def test_unwrap_sns_forms():
+    s3 = _read(S3_NOTIFICATION)
+    wrapped = json.dumps(
+        {"Records": [{"EventSource": "aws:sns", "Sns": {"Message": s3}}]}
+    )
+    assert json.loads(unwrap_event(wrapped)[0]) == json.loads(s3)
+    # bare SNSEntity (app.go:140-155)
+    entity = json.dumps({"MessageId": "m-1", "Message": s3})
+    assert json.loads(unwrap_event(entity)[0]) == json.loads(s3)
+    # SQS wrapping SNS wrapping S3 — the composed pipeline unwraps both
+    sqs_sns = json.dumps(
+        {"Records": [{"eventSource": "aws:sqs", "body": wrapped}]}
+    )
+    assert json.loads(unwrap_event(sqs_sns)[0]) == json.loads(s3)
+
+
+def test_unwrap_non_event_passthrough():
+    assert unwrap_event("not json at all") == ["not json at all"]
+    assert unwrap_event('{"foo": 1}') == ['{"foo": 1}']
+    # Records present but not SQS/SNS -> original event unchanged
+    mixed = json.dumps({"Records": [{"eventSource": "aws:kinesis"}]})
+    assert unwrap_event(mixed) == [mixed]
+
+
+def test_collect_s3_records_and_context():
+    for path in (S3_NOTIFICATION, SQS_EVENT):
+        recs = collect_s3_records(_read(path))
+        assert len(recs) == 1
+        ctx = s3_record_context(recs[0])
+        assert ctx["source"] == "logs/EMLARXS9EXAMPLE.2019-12-01-22.RT4KCN4SGK9.gz"
+        assert ctx["event_time"] == "2019-12-01T22:56:00.000Z"
+        assert ctx["bucket_name"] == "example-bucket"
+        assert ctx["bucket_arn"] == "arn:aws:s3:::example-bucket"
+        assert ctx["object_size"] == 1024
+    assert collect_s3_records('{"foo": 1}') == []
+
+
+def test_cli_s3_event_scopes_to_trigger_and_matches_golden(spark, tmp_path):
+    """main.py --s3-event: the SQS-wrapped notification scopes the run to
+    its object key — a decoy object in the corpus contributes nothing — and
+    the output equals the reference golden for the config."""
+    from cflog2otel_spark.golden import canonicalize, load_reference_golden
+    from cflog2otel_spark.sources.tokenized import read_cf_log_file, tokenized_df_from_lines
+
+    _, lines1 = read_cf_log_file(CF_LOG)
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    corpus = tokenized_df_from_lines(spark, lines1, SOURCE1).union(
+        tokenized_df_from_lines(spark, lines2, SOURCE2)  # decoy object
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    proc = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--config", f"{CONFIGS}/request_count_by_status_category.json",
+            "--input", corpus_path,
+            "--s3-event", SQS_EVENT,
+            "--golden-stdout",
+            "--master", "local[2]",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ours = canonicalize(json.loads(proc.stdout))
+    theirs = load_reference_golden(
+        f"{REFERENCE}/testdata/fixtures/request_count_by_status_category.golden.json"
+    )
+    assert ours == theirs
