@@ -155,9 +155,16 @@ def minhash_lsh_pairs(
     engine_stable swaps xxhash64 for hash60 (base) and a polynomial fold
     (band bucket) so the whole candidate set is reproducible in ANSI SQL.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = k // bands
     sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed, engine_stable)
-    with_sig = docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig"))
+    # materialize the signature table (id + k bigints — tiny next to the
+    # text): the cap count and both self-join sides consume it, and without
+    # the persist each consumer re-runs the shingle+minhash CPU
+    with_sig = docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     def bucket_col(b: int) -> Column:
         if not engine_stable:
@@ -288,9 +295,13 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (any pair within distance 3 shares at least one exact 16-bit
     chunk — pigeonhole), then exact popcount verify."""
+    from pyspark.storagelevel import StorageLevel
+
+    # one simhash pass total: the 16-byte (id, signature) table feeds the
+    # cap count and both join sides (see minhash_lsh_pairs)
     sh = docs.select(
         F.col(id_col), simhash64(F.col(text_col), engine_stable=engine_stable).alias("_sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         id_col,
         "_sh",

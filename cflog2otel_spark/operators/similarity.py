@@ -370,9 +370,15 @@ def embedding_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize (id, band, bucket) once: the n_bands*r hyperplane dot
+    # products are the expensive part, and the cap count plus both join
+    # sides would each re-run them otherwise
     entries = (
         emb.select(F.col(id_col).alias("_id"), F.explode(band_buckets).alias("bb"))
         .select("_id", "bb.band", "bb.bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     entries = _drop_over_cap_buckets(entries, ["band", "bucket"], max_bucket)
     left = entries.select("band", "bucket", F.col("_id").alias("a"))
