@@ -130,6 +130,8 @@ def main() -> None:
         "docs_fingerprint",
         "emb_topk",
         "docs_exact_dedup",
+        "emb_ann_topk",   # persisted-_sig probe (index built on first run)
+        "emb_ivf_topk",   # partition-pruned IVF probe
     ]:
         fn = QUERIES[name][0]
         t0 = time.time()

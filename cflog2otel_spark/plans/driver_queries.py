@@ -698,6 +698,43 @@ def o_docs_minhash_pairs() -> str:
     """
 
 
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH verify stage: exact word-3-gram Jaccard over the MinHash
+    candidate pairs (engine-stable, so the oracle reproduces the identical
+    candidate set, then exact set arithmetic)."""
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_lsh_pairs(docs, engine_stable=True).select("a", "b")
+    return ngram_jaccard_pairs(docs, cands).select(
+        "a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def o_docs_ngram_jaccard() -> str:
+    cand_sql = o_docs_minhash_pairs()
+    return rf"""
+      WITH cand AS ({cand_sql}),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(
+          list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ) ELSE [] END s FROM toks
+      )
+      SELECT cand.a, cand.b,
+             round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+               THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.s, sb.s)))
+               ELSE 0.0 END, 6) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.a
+      JOIN sh sb ON sb.doc_id = cand.b
+    """
+
+
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming<=3 via 4x16-bit pigeonhole banding +
     popcount verify. engine_stable simhash (hash60 base) lets the oracle
@@ -856,6 +893,7 @@ QUERIES = {
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
+    "docs_ngram_jaccard": (q_docs_ngram_jaccard, o_docs_ngram_jaccard),
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),
     "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
     "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
