@@ -1,0 +1,134 @@
+"""OTLP/HTTP metrics export.
+
+The reference exports over OTLP gRPC (app.go:207-241, otlp.go) — gRPC
+bindings aren't available here, but OTLP/HTTP with JSON encoding is an
+equally standard collector wire (same proto payload, POST
+/v1/metrics, content-type application/json), implemented with the stdlib
+only. The payload is the proto-JSON tree golden-verified against the
+reference's e2e fixtures (golden.encode_otlp), lower-cased into the
+canonical OTLP JSON field names.
+
+Driver-side by design: data points are already aggregated (a few rows per
+window x attrs), so export is control-plane work like the reference's.
+gzip compression mirrors the reference's `gzip: true` config
+(otlp.go / config `otel.gzip`).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import json
+import urllib.error
+import urllib.request
+from typing import Any
+
+# encode_otlp uses Go-SDK-style wrapper keys ("Data"/"Sum"/"Value" oneofs)
+# to match the reference's goldie fixtures; the wire format flattens them.
+_ONEOF_NUM = {"AsInt": "asInt", "AsDouble": "asDouble"}
+_ONEOF_ATTR = {
+    "StringValue": "stringValue",
+    "BoolValue": "boolValue",
+    "IntValue": "intValue",
+    "DoubleValue": "doubleValue",
+}
+
+
+def _attr_wire(a: dict) -> dict:
+    inner = a["value"]["Value"]
+    k, v = next(iter(inner.items()))
+    return {"key": a["key"], "value": {_ONEOF_ATTR[k]: v}}
+
+
+def _dp_wire(dp: dict) -> dict:
+    out: dict[str, Any] = {}
+    for k, v in dp.items():
+        if k == "attributes":
+            out["attributes"] = [_attr_wire(a) for a in v]
+        elif k == "Value":
+            kk, vv = next(iter(v.items()))
+            out[_ONEOF_NUM[kk]] = vv
+        elif k == "start_time_unix_nano":
+            out["startTimeUnixNano"] = str(v)
+        elif k == "time_unix_nano":
+            out["timeUnixNano"] = str(v)
+        elif k == "bucket_counts":
+            out["bucketCounts"] = [str(x) for x in v]
+        elif k == "explicit_bounds":
+            out["explicitBounds"] = v
+        elif k == "count":
+            out["count"] = str(v)
+        else:
+            out[k] = v
+    return out
+
+
+def to_wire(req: dict) -> dict:
+    """golden.encode_otlp request tree -> canonical OTLP/HTTP JSON body
+    (ExportMetricsServiceRequest)."""
+    rms = []
+    for rm in req["resource_metrics"]:
+        wire_rm: dict[str, Any] = {
+            "resource": {
+                "attributes": [
+                    _attr_wire(a) for a in rm["resource"]["attributes"]
+                ]
+            },
+            "scopeMetrics": [],
+        }
+        for sm in rm["scope_metrics"]:
+            wire_sm: dict[str, Any] = {"scope": sm.get("scope", {}), "metrics": []}
+            if sm.get("schema_url"):
+                wire_sm["schemaUrl"] = sm["schema_url"]
+            for metric in sm["metrics"]:
+                wm: dict[str, Any] = {"name": metric["name"]}
+                for k_src, k_dst in (("description", "description"), ("unit", "unit")):
+                    if metric.get(k_src):
+                        wm[k_dst] = metric[k_src]
+                data = metric["Data"]
+                if "Sum" in data:
+                    d = data["Sum"]
+                    wm["sum"] = {
+                        "dataPoints": [_dp_wire(dp) for dp in d["data_points"]],
+                        "aggregationTemporality": d["aggregation_temporality"],
+                        "isMonotonic": d["is_monotonic"],
+                    }
+                else:
+                    d = data["Histogram"]
+                    wm["histogram"] = {
+                        "dataPoints": [_dp_wire(dp) for dp in d["data_points"]],
+                        "aggregationTemporality": d["aggregation_temporality"],
+                    }
+                wire_sm["metrics"].append(wm)
+            wire_rm["scopeMetrics"].append(wire_sm)
+        rms.append(wire_rm)
+    return {"resourceMetrics": rms}
+
+
+def export_otlp_http(
+    reqs: list[dict],
+    endpoint: str,
+    gzip: bool = False,
+    headers: dict[str, str] | None = None,
+    timeout: float = 30.0,
+) -> int:
+    """POST each request to <endpoint>/v1/metrics (endpoint may already
+    include the path). Returns the number of successful exports; raises on
+    the first HTTP failure like the reference joins exporter errors."""
+    url = endpoint if endpoint.rstrip("/").endswith("/v1/metrics") else (
+        endpoint.rstrip("/") + "/v1/metrics"
+    )
+    n = 0
+    for req in reqs:
+        body = json.dumps(to_wire(req)).encode()
+        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        if gzip:
+            body = _gzip.compress(body)
+            hdrs["Content-Encoding"] = "gzip"
+        r = urllib.request.Request(url, data=body, headers=hdrs, method="POST")
+        with urllib.request.urlopen(r, timeout=timeout) as resp:
+            if resp.status >= 300:
+                raise urllib.error.HTTPError(
+                    url, resp.status, "export failed", resp.headers, None
+                )
+        n += 1
+    return n

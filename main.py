@@ -59,6 +59,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--repartition-by-source", action="store_true")
     ap.add_argument("--config-validate-only", action="store_true")
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
+    ap.add_argument(
+        "--export-otlp",
+        nargs="?",
+        const="__config__",
+        help="POST the aggregated metrics to an OTLP/HTTP collector. With "
+        "no value, uses the config's otel.endpoint (+ otel.gzip); pass a "
+        "URL to override",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--checkpoint-dir", help="lineage manifest dir for resumable runs")
     return ap.parse_args(argv)
@@ -205,6 +213,24 @@ def main(argv: list[str] | None = None) -> int:
             for res in results:
                 for tree in encode_golden(res, cfg):
                     print(json.dumps(tree, indent=2))
+        if args.export_otlp:
+            from cflog2otel_spark.export import export_otlp_http
+            from cflog2otel_spark.golden import encode_otlp
+
+            endpoint = (
+                cfg.otel.get("endpoint")
+                if args.export_otlp == "__config__"
+                else args.export_otlp
+            )
+            if not endpoint:
+                print("no OTLP endpoint configured", file=sys.stderr)
+                return 2
+            n = 0
+            for res in results:
+                n += export_otlp_http(
+                    encode_otlp(res, cfg), endpoint, gzip=bool(cfg.otel.get("gzip"))
+                )
+            print(json.dumps({"exported": n}), file=sys.stderr)
         dt = time.time() - t0
         stats = {"elapsed_sec": round(dt, 3)}
         if n_rows is not None:
