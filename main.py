@@ -69,6 +69,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument("--checkpoint-dir", help="lineage manifest dir for resumable runs")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip sources already marked done in --checkpoint-dir manifests "
+        "(an IN-list filter on source = partition pruning on a "
+        "source-partitioned layout)",
+    )
     return ap.parse_args(argv)
 
 
@@ -125,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
                 parsed = fail_on_bad_source_key(enrich(parsed))
             else:
                 parsed = enrich(parsed, on_bad_key="skip")
+        if args.resume:
+            if not args.checkpoint_dir:
+                print("--resume requires --checkpoint-dir", file=sys.stderr)
+                return 2
+            from cflog2otel_spark.lineage import resume_filter
+
+            parsed = resume_filter(parsed, args.checkpoint_dir)
+
         manifest = None
         if args.manifest:
             with open(args.manifest) as fh:

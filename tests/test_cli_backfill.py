@@ -93,3 +93,35 @@ def test_run_pipeline_event_time_exempts_trigger(spark):
     )
     total = sum(r["value"] for r in coarse.sinks[cfg.metrics[0].name].collect())
     assert total == 3  # 22:10 lines gated without the trigger exemption
+
+
+def test_cli_resume_skips_completed_sources(spark, tmp_path):
+    """--resume + --checkpoint-dir: a second run over the same corpus
+    processes 0 rows (every source marked done by the first manifest)."""
+    _, lines1 = read_cf_log_file(CF_LOG)
+    corpus = tokenized_df_from_lines(spark, lines1, SOURCE1)
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(extra):
+        return subprocess.run(
+            [
+                sys.executable, "main.py",
+                "--config", f"{CONFIGS}/request_count_for_5xx.json",
+                "--input", corpus_path,
+                "--checkpoint-dir", ckpt,
+                "--master", "local[2]",
+            ] + extra,
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+        )
+
+    p1 = run([])
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    stats1 = json.loads([l for l in p1.stderr.splitlines() if '"run"' in l][-1])
+    assert stats1["run"]["rows"] == 6
+
+    p2 = run(["--resume"])
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    stats2 = json.loads([l for l in p2.stderr.splitlines() if '"run"' in l][-1])
+    assert stats2["run"]["rows"] == 0
