@@ -81,8 +81,16 @@ def _unquote(raw: str) -> str:
             i += 1
             e = body[i]
             if e == "u":
-                out.append(chr(int(body[i + 1 : i + 5], 16)))
+                cp = int(body[i + 1 : i + 5], 16)
                 i += 5
+                # combine UTF-16 surrogate pairs (JSON escapes astral chars
+                # as \uD8xx\uDCxx — two escapes, one code point)
+                if 0xD800 <= cp <= 0xDBFF and body[i : i + 2] == "\\u":
+                    lo = int(body[i + 2 : i + 6], 16)
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                        i += 6
+                out.append(chr(cp))
                 continue
             if e not in _ESCAPES:
                 raise JsonnetError(f"unsupported escape \\{e}")

@@ -519,6 +519,41 @@ def o_docs_fingerprint() -> str:
     """
 
 
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length band + punct sanity + stopword
+    presence), the filter a training-data pipeline gates ingestion on."""
+    from ..operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def o_docs_quality() -> str:
+    from ..operators.text import STOPWORDS
+
+    ntok = r"""CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+    stop_hits = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in STOPWORDS
+    )
+    punct = r"""CASE WHEN length(text) > 0
+      THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)
+      ELSE 0.0 END"""
+    return rf"""
+      SELECT doc_id,
+             round((
+               (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN {punct} < 0.2 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN ({ntok}) > 0
+                     AND CAST({stop_hits} AS DOUBLE) / ({ntok}) > 0.01
+                THEN 1.0 ELSE 0.0 END)
+             ) / 3.0, 6) AS quality
+      FROM documents
+    """
+
+
 def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk
 
@@ -890,6 +925,7 @@ QUERIES = {
     "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
     "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
+    "docs_quality": (q_docs_quality, o_docs_quality),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),

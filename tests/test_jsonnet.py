@@ -133,3 +133,36 @@ def test_language_subset():
         evaluate("import 'x.libsonnet'")
     with pytest.raises(JsonnetError, match="std.thisDoesNotExist"):
         evaluate("std.thisDoesNotExist(1)")
+
+
+def test_json_subset_roundtrip_property():
+    """Property: any JSON value, rendered as a jsonnet source literal,
+    evaluates back to itself (JSON is valid jsonnet)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_scalars = st.one_of(
+        st.none(), st.booleans(), st.integers(-2**31, 2**31),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=32),
+            max_size=20,
+        ),
+    )
+    json_values = st.recursive(
+        json_scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=4),
+            st.dictionaries(st.text(max_size=8), kids, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(json_values)
+    def check(v):
+        assert evaluate(_json.dumps(v)) == v
+
+    check()
