@@ -109,6 +109,11 @@ def main() -> None:
 
     # flagship: full pipeline, 4 sinks, parquet writes
     cfg = Config.from_json(MULTI_CFG)
+    # JIT/codegen warm-up on a slice (same practice as scaling_run.py):
+    # the measurement is the job, not JVM compilation
+    warm = run_pipeline(spark, cfg, corpus.limit(1000), cache="none")
+    for df in warm.sinks.values():
+        df.write.format("noop").mode("overwrite").save()
     t0 = time.time()
     result = run_pipeline(spark, cfg, corpus, keep_payload=False)
     write_sinks(result, "/tmp/bench_sinks")
