@@ -64,8 +64,11 @@ def write_run_manifest(
     manifest_dir: str,
     input_path: str = "",
     run_id: str | None = None,
+    elapsed_sec: float | None = None,
 ) -> int:
-    """Write <dir>/manifest_<run_id>.json; returns total input rows."""
+    """Write <dir>/manifest_<run_id>.json; returns total input rows.
+    Pass the pipeline's wall time as elapsed_sec to record throughput
+    alongside the skew metrics."""
     os.makedirs(manifest_dir, exist_ok=True)
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
@@ -81,6 +84,12 @@ def write_run_manifest(
         "skew": skew_metrics(stats),
         "manifest_build_sec": round(time.time() - t0, 3),
     }
+    if elapsed_sec is not None:
+        manifest["throughput"] = {
+            "elapsed_sec": round(elapsed_sec, 3),
+            "rows": total,
+            "seq_per_sec": round(total / elapsed_sec, 1) if elapsed_sec > 0 else None,
+        }
     path = os.path.join(manifest_dir, f"manifest_{run_id}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:

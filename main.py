@@ -214,7 +214,11 @@ def main(argv: list[str] | None = None) -> int:
             from cflog2otel_spark.lineage import write_run_manifest
 
             n_rows = write_run_manifest(
-                spark, result, args.checkpoint_dir, input_path=args.input
+                spark,
+                result,
+                args.checkpoint_dir,
+                input_path=args.input,
+                elapsed_sec=time.time() - t0,
             )
         if args.out:
             # one invocation per S3 record (reference exports per

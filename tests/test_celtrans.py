@@ -104,3 +104,34 @@ def test_in_operator(cel, sql):
 def test_in_requires_list():
     with pytest.raises(CELTranslationError, match="list literal"):
         translate("log.csMethod in log.csHost")
+
+
+def test_every_reference_cel_string_translates():
+    """Every cel('...') expression in the reference README and testdata
+    configs must translate (the surface a real user would paste). The one
+    deliberate exception is invalid_cel.jsonnet's typo'd field, which must
+    raise the unknown-field error."""
+    import glob
+    import re
+
+    from cflog2otel_spark.celtrans import CELTranslationError, translate
+
+    pat = re.compile(r"cel\('([^']+)'\)")
+    sources = ["/root/reference/README.md"] + sorted(
+        glob.glob("/root/reference/testdata/*.jsonnet")
+    )
+    seen = set()
+    for path in sources:
+        with open(path) as fh:
+            for expr in pat.findall(fh.read()):
+                seen.add((path.rsplit("/", 1)[-1], expr))
+    assert len({e for _, e in seen}) >= 8  # the surface is non-trivial
+    for fname, expr in sorted(seen):
+        if "csURIStem" in expr:  # invalid_cel.jsonnet's deliberate typo
+            import pytest as _pytest
+
+            with _pytest.raises(CELTranslationError):
+                translate(expr)
+            continue
+        sql = translate(expr)
+        assert sql and isinstance(sql, str), (fname, expr)
