@@ -60,6 +60,22 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--config-validate-only", action="store_true")
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
     ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run as a Structured Streaming job over --input (new files = "
+        "new micro-batches, the reference's new-object-new-invocation "
+        "model); drains available data (availableNow) and writes "
+        "idempotent window-partition sinks under --out; requires "
+        "--checkpoint-dir",
+    )
+    ap.add_argument(
+        "--watermark",
+        default=None,
+        help="streaming lateness bound (e.g. '30 minutes'); defaults to "
+        "the config's backfill.time_tolerance when backfill is enabled, "
+        "else 1 hour",
+    )
+    ap.add_argument(
         "--export-otlp",
         nargs="?",
         const="__config__",
@@ -109,6 +125,34 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
         from cflog2otel_spark.pipeline import run_pipeline_parsed, write_sinks
+
+        if args.stream:
+            if not (args.input and args.out and args.checkpoint_dir):
+                print(
+                    "--stream requires --input, --out and --checkpoint-dir",
+                    file=sys.stderr,
+                )
+                return 2
+            from cflog2otel_spark.streaming.stream import run_streaming_pipeline
+
+            watermark = args.watermark or (
+                f"{int(cfg.backfill.time_tolerance_seconds)} seconds"
+                if cfg.backfill.enabled
+                else "1 hour"
+            )
+            t0 = time.time()
+            queries = run_streaming_pipeline(
+                spark, cfg, args.input, args.out, args.checkpoint_dir,
+                watermark=watermark, trigger_once=True,
+            )
+            for q in queries:
+                q.awaitTermination()
+            print(
+                json.dumps({"run": {"elapsed_sec": round(time.time() - t0, 3),
+                                    "mode": "stream", "watermark": watermark}}),
+                file=sys.stderr,
+            )
+            return 0
 
         use_manifest = bool(
             args.manifest and args.trigger_source and args.event_time
