@@ -522,6 +522,35 @@ def _must_env(name: str) -> str:
 _NATIVES["must_env"] = _must_env
 
 
+def _ssm(name: str) -> str:
+    """SSM parameter lookup (the reference registers fujiwara/ssm-lookup's
+    natives, jsonnet.go:64-67). No AWS here, so the backing store is a
+    local JSON object: the CFLOG_SSM_JSON env var holds {"/param/path":
+    "value", ...} (or a path to such a file). Unset store or missing
+    parameter errors, like a failed AWS lookup would."""
+    raw = os.environ.get("CFLOG_SSM_JSON")
+    if not raw:
+        raise JsonnetError(
+            "ssm: no parameter store available (set CFLOG_SSM_JSON to a "
+            "JSON object or file of {path: value}; AWS SSM is not reachable "
+            "from this runtime)"
+        )
+    try:
+        store = json.loads(raw)
+    except ValueError:
+        try:
+            with open(raw) as fh:
+                store = json.load(fh)
+        except (OSError, ValueError) as exc:
+            raise JsonnetError(f"ssm: invalid CFLOG_SSM_JSON: {exc}") from exc
+    if name not in store:
+        raise JsonnetError(f"ssm: parameter {name} not found")
+    return store[name]
+
+
+_NATIVES["ssm"] = _ssm
+
+
 def _std_native(name: str) -> Any:
     if name not in _NATIVES:
         raise JsonnetError(f"native function {name!r} is not registered")

@@ -166,3 +166,21 @@ def test_json_subset_roundtrip_property():
         assert evaluate(_json.dumps(v)) == v
 
     check()
+
+
+def test_ssm_native(monkeypatch, tmp_path):
+    """ssm native (jsonnet.go:64-67 registers fujiwara/ssm-lookup): backed
+    here by a local JSON store via CFLOG_SSM_JSON (no AWS in this runtime)."""
+    src = "local ssm = std.native('ssm'); { ep: ssm('/cflog/endpoint') }"
+    monkeypatch.delenv("CFLOG_SSM_JSON", raising=False)
+    with pytest.raises(JsonnetError, match="no parameter store"):
+        evaluate(src)
+    monkeypatch.setenv("CFLOG_SSM_JSON", '{"/cflog/endpoint": "http://c:4318"}')
+    assert evaluate(src) == {"ep": "http://c:4318"}
+    with pytest.raises(JsonnetError, match="not found"):
+        evaluate("local ssm = std.native('ssm'); ssm('/nope')")
+    # file-backed store
+    f = tmp_path / "store.json"
+    f.write_text('{"/cflog/endpoint": "from-file"}')
+    monkeypatch.setenv("CFLOG_SSM_JSON", str(f))
+    assert evaluate(src) == {"ep": "from-file"}
