@@ -30,18 +30,34 @@ from pyspark.sql import types as T
 from ..schemas import CANONICAL_HEADER, CF_FIELDS
 
 
+# foldable byte -> 2-hex-chars lookup table: one array get per byte instead
+# of hex()+lpad() string calls (measured 2-2.4x on the 613M-token corpus).
+# Built lazily — constructing literal Columns needs an active SparkContext,
+# which doesn't exist at import time.
+_HEX_TABLE: Column | None = None
+
+
+def _hex_table() -> Column:
+    global _HEX_TABLE
+    if _HEX_TABLE is None:
+        _HEX_TABLE = F.array(*[F.lit(format(i, "02x")) for i in range(256)])
+    return _HEX_TABLE
+
+
 def decode_tokens_col(tokens: Column) -> Column:
     """array<int32> of UTF-8 byte values -> string, entirely JVM-side:
-    byte -> 2-char hex -> unhex -> UTF-8 decode. Byte-exact for any UTF-8
-    (incl. multi-byte) as long as values are in [0, 255] — the input_hint
-    domain; out-of-range values corrupt silently (strict mode guards).
+    byte -> 2-char hex (constant lookup table) -> unhex -> UTF-8 decode.
+    Byte-exact for any UTF-8 (incl. multi-byte) as long as values are in
+    [0, 255] — the input_hint domain; out-of-range values resolve to NULL
+    in the lookup and drop from the join, i.e. corrupt silently (strict
+    mode guards with an explicit range check).
 
-    Measured 2-3x faster than the best Arrow UDF on this box (13.7s vs
-    36.6s per 2M rows x 32 cores): no JVM<->Python socket crossing, stays
-    inside whole-stage codegen, and scales linearly with cores.
+    Measured 2-3x faster than the best Arrow UDF on this box (and the
+    table lookup another 2x over hex()+lpad()): no JVM<->Python socket
+    crossing, stays inside whole-stage codegen, scales linearly with cores.
     """
     return F.decode(
-        F.unhex(F.array_join(F.transform(tokens, lambda x: F.lpad(F.hex(x), 2, "0")), "")),
+        F.unhex(F.array_join(F.transform(tokens, lambda x: F.get(_hex_table(), x)), "")),
         "UTF-8",
     )
 
