@@ -32,7 +32,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver heap IS the executor heap — size it so the
+        # persisted pruned projection + concurrent sink jobs never spill at
+        # bench scale (box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
