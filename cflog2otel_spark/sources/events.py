@@ -58,17 +58,14 @@ def _unwrap_sqs(events: Iterable[Any]) -> Iterator[Any]:
             else:
                 yield ev
             continue
-        out = []
-        ok = True
+        # app.go:92-104: bodies stream out as encountered; the FIRST non-SQS
+        # record yields the original event and stops this event's records
+        # (bodies already yielded stay yielded — exact Go loop order)
         for rec in records:
             if not isinstance(rec, dict) or _get_ci(rec, "eventSource") != "aws:sqs":
-                ok = False  # app.go:93-99: any non-SQS record -> original event
+                yield ev
                 break
-            out.append(_get_ci(rec, "body", ""))
-        if ok:
-            yield from out
-        else:
-            yield ev
+            yield _get_ci(rec, "body", "")
 
 
 def _unwrap_sns(events: Iterable[Any]) -> Iterator[Any]:
@@ -93,17 +90,12 @@ def _unwrap_sns(events: Iterable[Any]) -> Iterator[Any]:
                 continue
             yield ev
             continue
-        out = []
-        ok = True
+        # app.go:158-171: same streaming order as the SQS loop
         for rec in records:
             if not isinstance(rec, dict) or _get_ci(rec, "EventSource") != "aws:sns":
-                ok = False
+                yield ev
                 break
-            out.append(_get_ci(_get_ci(rec, "Sns", {}) or {}, "Message", ""))
-        if ok:
-            yield from out
-        else:
-            yield ev
+            yield _get_ci(_get_ci(rec, "Sns", {}) or {}, "Message", "")
 
 
 def unwrap_event(event: Any) -> list[Any]:

@@ -111,3 +111,19 @@ def test_cli_s3_event_scopes_to_trigger_and_matches_golden(spark, tmp_path):
         f"{REFERENCE}/testdata/fixtures/request_count_by_status_category.golden.json"
     )
     assert ours == theirs
+
+
+def test_unwrap_mixed_records_streams_then_yields_original():
+    """Exact Go loop order (app.go:92-104): bodies yield as encountered;
+    the first non-SQS record yields the ORIGINAL event and stops — bodies
+    already yielded stay yielded."""
+    mixed = json.dumps(
+        {
+            "Records": [
+                {"eventSource": "aws:sqs", "body": "first-body"},
+                {"eventSource": "aws:kinesis"},
+                {"eventSource": "aws:sqs", "body": "never-reached"},
+            ]
+        }
+    )
+    assert unwrap_event(mixed) == ["first-body", mixed]
