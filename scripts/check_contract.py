@@ -42,6 +42,25 @@ def norm_cell(v):
     return v
 
 
+_KINDS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "hugeint": "huge", "ubigint": "int", "uinteger": "int",
+    "float": "float", "real": "float", "double": "float",
+    "string": "str", "varchar": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ns": "ts", "timestamp with time zone": "ts",
+    "date": "date",
+}
+
+
+def _type_kind(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "float"
+    if t.startswith("array") or t.endswith("[]"):
+        return "array"
+    return _KINDS.get(t, t)
+
+
 def rows_normalized(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -73,6 +92,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
@@ -82,9 +102,10 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            otypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
+            orows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
@@ -93,6 +114,18 @@ def main() -> int:
         oc, on = rows_normalized(ocols, orows)
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} duck={oc}")
+            failures += 1
+            continue
+        # schema kind check (the driver's schema_match): a DuckDB HUGEINT
+        # against a Spark BIGINT hash-mismatches in the driver even when
+        # values agree — catch that class locally
+        mism = [
+            (c, stypes[c], otypes[c])
+            for c in sc
+            if _type_kind(stypes[c]) != _type_kind(otypes[c])
+        ]
+        if mism:
+            print(f"FAIL {name}: schema kind mismatch {mism}")
             failures += 1
             continue
         if len(sn) != len(on):
