@@ -80,3 +80,38 @@ def test_export_posts_to_collector(spark, cf_fixture_df):
         assert body2 == body
     finally:
         srv.shutdown()
+
+
+def test_cli_export_otlp(spark, cf_fixture_df, tmp_path):
+    """main.py --export-otlp posts every aggregated request to the
+    collector endpoint (config otel.gzip honored end-to-end)."""
+    import subprocess
+    import sys
+
+    corpus_path = str(tmp_path / "corpus")
+    cf_fixture_df.write.parquet(corpus_path)
+    srv, base = _serve()
+    try:
+        _Collector.received.clear()
+        proc = subprocess.run(
+            [
+                sys.executable, "main.py",
+                "--config", f"{CONFIGS}/multi_metrics.json",  # otel.gzip: true
+                "--input", corpus_path,
+                "--export-otlp", base,
+                "--master", "local[2]",
+            ],
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert '"exported": 1' in proc.stderr
+        path, headers, body = _Collector.received[0]
+        assert path == "/v1/metrics"
+        assert headers.get("Content-Encoding") == "gzip"
+        names = {
+            m["name"]
+            for m in body["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+        }
+        assert names == {"http.server.requests", "http.server.total_bytes"}
+    finally:
+        srv.shutdown()
