@@ -47,7 +47,8 @@ _KINDS = {
     "bigint": "int", "hugeint": "huge", "ubigint": "int", "uinteger": "int",
     "float": "float", "real": "float", "double": "float",
     "string": "str", "varchar": "str", "boolean": "bool",
-    "timestamp": "ts", "timestamp_ns": "ts", "timestamp with time zone": "ts",
+    "timestamp": "ts", "timestamp_ns": "ts", "timestamp_ntz": "ts",
+    "timestamp with time zone": "ts",
     "date": "date",
 }
 
