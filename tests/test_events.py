@@ -127,3 +127,45 @@ def test_unwrap_mixed_records_streams_then_yields_original():
         }
     )
     assert unwrap_event(mixed) == ["first-body", mixed]
+
+
+def test_cli_multi_record_event_writes_per_record_sinks(spark, tmp_path):
+    """Two S3 records in one event -> two scoped runs, sinks under
+    record_0/ and record_1/ (the reference aggregates per notification)."""
+    from cflog2otel_spark.sources.tokenized import read_cf_log_file, tokenized_df_from_lines
+
+    _, lines1 = read_cf_log_file(CF_LOG)
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    corpus = tokenized_df_from_lines(spark, lines1, SOURCE1).union(
+        tokenized_df_from_lines(spark, lines2, SOURCE2)
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    def rec(key):
+        return {
+            "eventSource": "aws:s3",
+            "eventTime": "2019-12-01T23:30:00.000Z",
+            "s3": {"bucket": {"name": "b"}, "object": {"key": key}},
+        }
+
+    event_path = tmp_path / "event.json"
+    event_path.write_text(json.dumps({"Records": [rec(SOURCE1), rec(SOURCE2)]}))
+    out = tmp_path / "sinks"
+
+    proc = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--config", f"{CONFIGS}/request_count_by_status_category.json",
+            "--input", corpus_path,
+            "--s3-event", str(event_path),
+            "--out", str(out),
+            "--master", "local[2]",
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    s0 = spark.read.parquet(str(out / "record_0" / "http.server.requests"))
+    s1 = spark.read.parquet(str(out / "record_1" / "http.server.requests"))
+    assert sum(r["value"] for r in s0.collect()) == 6  # SOURCE1's lines only
+    assert sum(r["value"] for r in s1.collect()) == 6  # SOURCE2's lines only
