@@ -66,3 +66,60 @@ def test_backfill_unparseable_trigger_skips(spark):
     _, lines1 = read_cf_log_file(CF_LOG)
     parsed = enrich(decode_and_parse(tokenized_df_from_lines(spark, lines1, SOURCE1)))
     assert backfill_select(parsed, "not-a-gz.txt", EVENT_TIME, 1800, {}).count() == 0
+
+
+def test_backfill_select_matches_python_model_property(spark):
+    """Differential property: backfill_select over randomized corpora,
+    manifests, and event times equals a direct Python model of the
+    reference's loops (app.go:322-368): keep every trigger line; re-read a
+    sibling iff its prefix matches and eventTime-lastModified <= T; keep a
+    sibling line iff eventTime-ts <= T."""
+    import random
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    prefix = "logs/D1."
+    sources = [
+        f"{prefix}2024-03-01-12.h{i}.gz" for i in range(4)
+    ] + ["logs/D2.2024-03-01-12.x.gz", "not-a-key.txt"]
+
+    for trial in range(8):
+        tol = rng.choice([600, 1800, 3600])
+        event_time = base + timedelta(minutes=rng.randint(-30, 90))
+        trigger = rng.choice(sources[:4])
+        last_modified = {
+            s: base + timedelta(minutes=rng.randint(-120, 60)) for s in sources
+        }
+        rows = []
+        for i in range(60):
+            src = rng.choice(sources)
+            ts = base + timedelta(minutes=rng.randint(-120, 60))
+            rows.append((str(i), src, ts))
+
+        # ---- python model of app.go:322-368
+        sibling_prefix = trigger.rsplit(".", 2)[0] + "."  # {prefix}{dist}.{datehour}.
+        want = set()
+        for rid, src, ts in rows:
+            if src == trigger:
+                want.add(rid)
+                continue
+            if not src.startswith(sibling_prefix):
+                continue
+            if (event_time - last_modified[src]).total_seconds() > tol:
+                continue
+            if (event_time - ts).total_seconds() > tol:
+                continue
+            want.add(rid)
+
+        df = spark.createDataFrame(rows, ["doc_id", "source", "timestamp"])
+        got = {
+            r["doc_id"]
+            for r in backfill_select(
+                df, trigger, event_time.isoformat(sep=" "), tol,
+                {k: v.isoformat(sep=" ") for k, v in last_modified.items()},
+            ).select("doc_id").collect()
+        }
+        assert got == want, (trial, trigger, tol, sorted(got ^ want))
