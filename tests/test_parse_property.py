@@ -107,3 +107,33 @@ def test_parse_matches_python_model_property(spark):
             if c == "timestamp":
                 continue
             assert got[c] == want[c], (i, c, lines[i], got[c], want[c])
+
+
+def test_token_codec_roundtrip_unicode_property(spark):
+    """encode -> decode is the identity for arbitrary UTF-8 (incl.
+    multi-byte and astral chars) — the lookup-table decode must be
+    byte-exact, not just ASCII-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cflog2otel_spark.operators.parse import decode_tokens_col, encode_tokens_col
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0, max_size=30,
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame([(s,) for s in batch], ["s"])
+        out = df.select(
+            "s", decode_tokens_col(encode_tokens_col(F.col("s"))).alias("r")
+        ).collect()
+        for r in out:
+            assert r["r"] == r["s"], repr(r["s"])
+
+    check()
