@@ -126,3 +126,33 @@ def test_jsonnet_never_crashes(src):
         pass
     except RecursionError:
         pytest.fail("unbounded recursion on adversarial input")
+
+
+def test_cel_string_literals_and_methods_property(spark):
+    """String literals survive translation with exact escaping (quotes,
+    backslashes, unicode), and contains/startsWith/endsWith match Python
+    semantics."""
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=32),
+        max_size=12,
+    )
+
+    def cel_quote(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    @settings(max_examples=80, deadline=None)
+    @given(printable, printable)
+    def check(a, b):
+        for method, py in (
+            ("contains", lambda: b in a),
+            ("startsWith", lambda: a.startswith(b)),
+            ("endsWith", lambda: a.endswith(b)),
+        ):
+            src = f"{cel_quote(a)}.{method}({cel_quote(b)})"
+            got = spark.sql(f"SELECT {translate(src)} AS v").first()["v"]
+            assert got == py(), (src, a, b)
+        # literal equality round-trip
+        src = f"{cel_quote(a)} == {cel_quote(a)}"
+        assert spark.sql(f"SELECT {translate(src)} AS v").first()["v"] is True
+
+    check()
