@@ -184,3 +184,28 @@ def test_ssm_native(monkeypatch, tmp_path):
     f.write_text('{"/cflog/endpoint": "from-file"}')
     monkeypatch.setenv("CFLOG_SSM_JSON", str(f))
     assert evaluate(src) == {"ep": "from-file"}
+
+
+def test_reference_readme_jsonnet_blocks_evaluate(monkeypatch):
+    """Every ```jsonnet block in the reference README (the documented user
+    surface) evaluates — config objects, bare switch fragments, and the
+    ssm header example (against the local parameter store)."""
+    import re
+
+    monkeypatch.setenv("CFLOG_SSM_JSON", '{"/path/to/api-key": "k-123"}')
+    src = open(f"{REFERENCE}/README.md").read()
+    blocks = re.findall(r"```jsonnet\n(.*?)```", src, re.S)
+    assert len(blocks) >= 7
+    for i, body in enumerate(blocks):
+        if not body.lstrip().startswith(("local", "{")):
+            # expression fragments assume the natives are in scope
+            body = (
+                "local cel = std.native('cel');"
+                "local switch = std.native('switch');\n" + body
+            )
+        v = evaluate(body)
+        assert isinstance(v, (dict, list)), i
+    # the ssm example produced the substituted header
+    ssm_block = next(b for b in blocks if "ssm(" in b)
+    out = evaluate(ssm_block)
+    assert out["otel"]["headers"]["Authorization"] == "Bearer k-123"
