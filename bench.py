@@ -15,7 +15,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -114,14 +116,33 @@ def main() -> None:
     warm = run_pipeline(spark, cfg, corpus.limit(1000), cache="none")
     for df in warm.sinks.values():
         df.write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    result = run_pipeline(spark, cfg, corpus, keep_payload=False)
-    write_sinks(result, "/tmp/bench_sinks")
-    dt = time.time() - t0
-    result.unpersist()
-    timings["pipeline_multi_metric"] = round(dt, 3)
-    extras["seq_per_sec"] = round(n_rows / dt, 1)
-    progress(f"pipeline_multi_metric {dt:.1f}s ({n_rows/dt:.0f} seq/s)")
+    # Median-of-3 protocol: single-shot timing on this oversubscribed box
+    # spanned 27-205 s in round 2 with an identical (asserted) plan, so the
+    # headline is the in-session median with spread reported alongside.
+    # Each run writes to a fresh tmpdir so no run pays overwrite/cleanup
+    # costs of a previous one.
+    runs: list[float] = []
+    for i in range(3):
+        sink_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+        t0 = time.time()
+        result = run_pipeline(spark, cfg, corpus, keep_payload=False)
+        write_sinks(result, sink_dir)
+        dt = time.time() - t0
+        result.unpersist()
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        runs.append(round(dt, 3))
+        progress(f"pipeline_multi_metric run {i + 1}/3: {dt:.1f}s")
+    flag = statistics.median(runs)
+    timings["pipeline_multi_metric"] = round(flag, 3)
+    extras["flagship_runs"] = runs
+    extras["flagship_spread_pct"] = round(
+        100.0 * (max(runs) - min(runs)) / flag, 1
+    )
+    extras["seq_per_sec"] = round(n_rows / flag, 1)
+    progress(
+        f"pipeline_multi_metric median {flag:.1f}s of {runs} "
+        f"({n_rows/flag:.0f} seq/s)"
+    )
 
     # driver-table queries (same entries the correctness gate runs)
     from cflog2otel_spark.plans.driver_queries import QUERIES

@@ -189,6 +189,10 @@ class _Parser:
             if self.peek().text != "[":
                 raise CELTranslationError(f"`in` requires a list literal in {self.src!r}")
             items = self._list_literal()
+            if not items:
+                # CEL: membership in an empty list is false; SQL `IN ()`
+                # is a parse error, so emit the constant directly.
+                return "(1 = 0)", "bool"
             return f"({left} IN ({', '.join(items)}))", "bool"
         return left, lt
 

@@ -379,25 +379,30 @@ class Config:
         )
 
     @classmethod
-    def load(cls, path: str) -> "Config":
-        """Load a config file. `.json` parses as plain JSON; anything else
-        (the reference's native `.jsonnet` surface, jsonnet.go:45-233)
-        evaluates through the bundled jsonnet subset with the cel/switch/
-        env/must_env/json_escape/base64_encode natives registered."""
+    def render(cls, path: str) -> Any:
+        """Evaluate a config file to its JSON document without building the
+        Config — the `-render-config` surface (cmd/cflog2otel/main.go:61-68).
+        `.json` parses as plain JSON; anything else (the reference's native
+        `.jsonnet` surface, jsonnet.go:45-233) evaluates through the bundled
+        jsonnet subset with the cel/switch/env/must_env/json_escape/
+        base64_encode natives registered."""
         if path.endswith(".json"):
             with open(path) as fh:
                 try:
-                    d = json.load(fh)
+                    return json.load(fh)
                 except json.JSONDecodeError as exc:
                     raise ConfigError(f"{path}: invalid JSON: {exc}") from exc
-        else:
-            from .jsonnet_min import JsonnetError, evaluate_file
+        from .jsonnet_min import JsonnetError, evaluate_file
 
-            try:
-                d = evaluate_file(path)
-            except JsonnetError as exc:
-                raise ConfigError(str(exc)) from exc
-        return cls.from_json(d)
+        try:
+            return evaluate_file(path)
+        except JsonnetError as exc:
+            raise ConfigError(str(exc)) from exc
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        """Load a config file (render + build)."""
+        return cls.from_json(cls.render(path))
 
     def validate_expressions(self, spark) -> None:
         """Load-time analysis probe, mirroring cel.go:222-237."""

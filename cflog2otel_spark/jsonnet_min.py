@@ -463,10 +463,10 @@ def _apply(fn: Any, args: list[Any]) -> Any:
 
 
 def _cast_cel_expr(value: Any) -> str | None:
-    """jsonnet.go castCELExpr: a {"expr": "<string>"} single-key map."""
-    if isinstance(value, dict) and set(value.keys()) == {"expr"} and isinstance(
-        value["expr"], str
-    ):
+    """jsonnet.go castCELExpr (jsonnet.go:235-248): any map whose "expr"
+    field is a string — extra keys are allowed and ignored, matching the
+    Go type assertion `m["expr"].(string)`."""
+    if isinstance(value, dict) and isinstance(value.get("expr"), str):
         return value["expr"]
     return None
 

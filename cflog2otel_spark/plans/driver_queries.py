@@ -387,10 +387,22 @@ def o_cf_routed_rows_5xx() -> str:
 
 
 def q_cf_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token passthrough + row-count integrity in one row."""
-    parsed = _parsed(spark, sf_dir)  # keeps tokens/n_tok (payload columns)
+    """Token passthrough + row-count integrity in one row.
+
+    The token clause is the real payload invariant: re-encode the decoded
+    line (encode_tokens_col, the JVM inverse of decode_tokens_col) and
+    compare against the input `tokens` array — a broken decode fails here,
+    not just in pytest."""
+    from ..operators.parse import encode_tokens_col
+
+    parsed = _parsed(spark, sf_dir)  # keeps tokens/n_tok/line (payload columns)
+    reencoded = encode_tokens_col(F.col("line"))
     mismatch = F.sum(
-        F.when(F.expr("tokens != tokens") | (F.size("tokens") != F.col("n_tok")), 1).otherwise(0)
+        F.when(
+            (~(reencoded == F.col("tokens")))
+            | (F.size("tokens") != F.col("n_tok")),
+            1,
+        ).otherwise(0)
     )
     return parsed.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -36,6 +36,18 @@ def get_spark(
         # persisted pruned projection + concurrent sink jobs never spill at
         # bench scale (box has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # stateful streaming (cross-batch dedup, streaming/stateful.py) keeps
+        # one marker row per key — at 100 TB that state outgrows the default
+        # in-heap HDFSBackedStateStore; RocksDB spills to local disk and
+        # bounds executor memory. Overridable per-session via `extra`.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_STATESTORE_PROVIDER",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            ),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

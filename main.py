@@ -58,6 +58,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     ap.add_argument("--repartition-by-source", action="store_true")
     ap.add_argument("--config-validate-only", action="store_true")
+    ap.add_argument(
+        "--render-config",
+        action="store_true",
+        help="evaluate the config (jsonnet or JSON) and print the JSON "
+        "document Config.load consumed, then exit "
+        "(reference -render-config, cmd/cflog2otel/main.go:47,61-68)",
+    )
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
     ap.add_argument(
         "--stream",
@@ -106,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as exc:
         print(f"config error: {exc}", file=sys.stderr)
         return 2
+    if args.render_config:
+        # load already validated; print the evaluated document (no Spark)
+        print(json.dumps(Config.render(args.config), indent=2))
+        return 0
 
     spark = get_spark(master=args.master, app_name="cflog2otel")
     try:

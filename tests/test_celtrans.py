@@ -135,3 +135,10 @@ def test_every_reference_cel_string_translates():
             continue
         sql = translate(expr)
         assert sql and isinstance(sql, str), (fname, expr)
+
+
+def test_in_empty_list_is_false():
+    """CEL evaluates `x in []` to false; SQL `IN ()` is a parse error, so
+    the translator emits the constant (ADVICE r2)."""
+    assert translate("log.csMethod in []") == "(1 = 0)"
+    assert translate("!(log.scStatus in [])") == "(NOT (1 = 0))"

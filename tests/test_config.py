@@ -1,5 +1,7 @@
 """Negative config tests, mirroring /root/reference/config_test.go:34-51."""
 
+import json
+
 import pytest
 
 from cflog2otel_spark.config import Config, ConfigError, parse_duration
@@ -126,3 +128,24 @@ def test_switch_zero_values():
     assert m.value.sql.endswith("ELSE CAST(0.0 AS DOUBLE) END)")
     assert m.filter.sql.endswith("ELSE false END)")
     assert m.attributes[0].value.sql.endswith("THEN 'err' END)")  # no ELSE -> NULL
+
+
+def test_render_config_cli():
+    """--render-config parity (cmd/cflog2otel/main.go:47,61-68): evaluate
+    the jsonnet and print the JSON document Config.load consumed."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "main.py",
+         "--config", "/root/reference/testdata/switch_case.jsonnet",
+         "--render-config"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr
+    doc = json.loads(proc.stdout)
+    from cflog2otel_spark.config import Config
+
+    assert doc == Config.render("/root/reference/testdata/switch_case.jsonnet")
+    # the printed document is exactly what Config.from_json accepts
+    Config.from_json(doc)

@@ -209,3 +209,20 @@ def test_reference_readme_jsonnet_blocks_evaluate(monkeypatch):
     ssm_block = next(b for b in blocks if "ssm(" in b)
     out = evaluate(ssm_block)
     assert out["otel"]["headers"]["Authorization"] == "Bearer k-123"
+
+
+def test_switch_case_with_extra_keys_is_cel():
+    """jsonnet.go castCELExpr (jsonnet.go:235-248) accepts ANY map whose
+    `expr` field is a string — extra keys are ignored, not disqualifying
+    (ADVICE r2)."""
+    out = evaluate(
+        "local switch = std.native('switch');"
+        "switch([{case: {expr: 'log.scStatus >= 500', note: 1}, value: 'err'},"
+        "        {default: {expr: 'log.csHost', extra: true}}])"
+    )
+    assert out == {
+        "switch": [
+            {"case": "log.scStatus >= 500", "value": "err"},
+            {"default_expr": "log.csHost"},
+        ]
+    }
