@@ -389,14 +389,14 @@ def o_cf_routed_rows_5xx() -> str:
 def q_cf_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token passthrough + row-count integrity in one row.
 
-    The token clause is the real payload invariant: re-encode the decoded
-    line (encode_tokens_col, the JVM inverse of decode_tokens_col) and
-    compare against the input `tokens` array — a broken decode fails here,
-    not just in pytest."""
-    from ..operators.parse import encode_tokens_col
+    The token clause is the real payload invariant: run the decode the
+    pipeline uses, re-encode the result (encode_tokens_col, the JVM
+    inverse), and compare against the input `tokens` array — a broken
+    codec fails this gate, not just pytest."""
+    from ..operators.parse import decode_tokens_col, encode_tokens_col
 
-    parsed = _parsed(spark, sf_dir)  # keeps tokens/n_tok/line (payload columns)
-    reencoded = encode_tokens_col(F.col("line"))
+    parsed = _parsed(spark, sf_dir)  # keeps tokens/n_tok (payload columns)
+    reencoded = encode_tokens_col(decode_tokens_col(F.col("tokens")))
     mismatch = F.sum(
         F.when(
             (~(reencoded == F.col("tokens")))
