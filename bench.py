@@ -167,7 +167,11 @@ def main() -> None:
         progress(f"{name} {timings[name]}s")
 
     # near-dup / LSH ops over documents
-    from cflog2otel_spark.operators.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
+    from cflog2otel_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_persisted,
+        simhash_near_dup_pairs,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.time()
@@ -179,6 +183,21 @@ def main() -> None:
     simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
     timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
     progress(f"docs_simhash_neardup {timings['docs_simhash_neardup']}s")
+
+    # embedding near-dup at the production threshold (0.95 -> ~17 bands);
+    # log_stats prints the skew cap's candidate-volume numbers to stderr
+    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    embedding_near_dup_pairs(emb, threshold=0.95, log_stats=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["emb_near_dup_strict"] = round(time.time() - t0, 3)
+    progress(f"emb_near_dup_strict {timings['emb_near_dup_strict']}s")
+
+    # drop the LSH signature/entry caches these ops persisted (ADVICE r2)
+    progress(f"released {release_persisted()} persisted intermediates")
 
     total = round(sum(timings.values()), 3)
     print(

@@ -91,16 +91,29 @@ def window_col(ts: Column, interval_seconds: float) -> Column:
     )
 
 
-def _attr_array(pairs: list[tuple[str, str]]) -> Column:
-    """Static-key attr set -> canonical key-sorted array<struct<key,value>>,
-    NULL values dropped (app.go:421-424; key order per attribute.NewSet,
-    observed in switch_case.golden.json).
+def _attr_array(pairs: list[tuple[str, str, str]]) -> Column:
+    """Static-key attr set -> canonical key-sorted
+    array<struct<key,value,value_type>>, NULL values dropped
+    (app.go:421-424; key order per attribute.NewSet, observed in
+    switch_case.golden.json).
+
+    `value` carries the canonical string rendering (grouping key + wire
+    text); `value_type` is the OTel type (STRING/INT64/DOUBLE/BOOL) from
+    the expression's static Spark type, so a parquet sink consumer can
+    recover Int64/Bool typing without re-deriving it from the config
+    (VERDICT r2 #7).
     """
     if not pairs:
-        return F.array().cast("array<struct<key:string,value:string>>")
+        return F.array().cast(
+            "array<struct<key:string,value:string,value_type:string>>"
+        )
     structs = [
-        F.struct(F.lit(k).alias("key"), F.col(c).alias("value"))
-        for k, c in sorted(pairs, key=lambda kv: kv[0])
+        F.struct(
+            F.lit(k).alias("key"),
+            F.col(c).alias("value"),
+            F.lit(t).alias("value_type"),
+        )
+        for k, c, t in sorted(pairs, key=lambda kv: kv[0])
     ]
     return F.filter(F.array(*structs), lambda x: x.getField("value").isNotNull())
 
@@ -124,12 +137,12 @@ def aggregate_metric(
     res_types = attribute_types(parsed, cfg.resource_attributes)
     attr_types = attribute_types(parsed, m.attributes)
     res_pairs = [
-        (a.key, f"__res_{i}")
+        (a.key, f"__res_{i}", res_types[i])
         for i, a in enumerate(cfg.resource_attributes)
         if res_types[i] is not None
     ]
     attr_pairs = [
-        (a.key, f"__attr_{i}")
+        (a.key, f"__attr_{i}", attr_types[i])
         for i, a in enumerate(m.attributes)
         if attr_types[i] is not None
     ]

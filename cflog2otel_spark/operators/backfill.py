@@ -90,3 +90,26 @@ def backfill_select(
         )
     )
     return parsed.filter(is_trigger | (is_sibling & line_ok))
+
+
+def manifest_from_listing(base_dir: str, suffix: str = ".gz") -> dict[str, str]:
+    """Build the backfill manifest (object key -> LastModified) from a
+    local directory listing — the deployment stand-in for the reference's
+    ListObjectsV2 flow (app.go:322-336): keys are file paths relative to
+    `base_dir`, LastModified is the file mtime (UTC). An Iceberg deployment
+    derives the same map from snapshot file metadata; an S3 one from the
+    real listing. Driver-side: the manifest is tiny object metadata, never
+    row data."""
+    import os
+    from datetime import datetime, timezone
+
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(base_dir):
+        for f in files:
+            if suffix and not f.endswith(suffix):
+                continue
+            full = os.path.join(root, f)
+            key = os.path.relpath(full, base_dir)
+            mt = datetime.fromtimestamp(os.path.getmtime(full), tz=timezone.utc)
+            out[key] = mt.strftime("%Y-%m-%d %H:%M:%S")
+    return out

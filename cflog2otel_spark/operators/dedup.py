@@ -25,6 +25,70 @@ from pyspark.sql import functions as F
 # hash never overflows int64 (ANSI mode would raise on overflow)
 MERSENNE_P = (1 << 31) - 1
 
+# Intermediates persisted by the LSH ops (signature tables, band entries)
+# register here so long-lived sessions can release them: repeated bench/
+# contract invocations would otherwise accumulate cached blocks without
+# bound (ADVICE r2). The ops stay lazy — callers decide when the consuming
+# action is done and call release_persisted().
+_PERSISTED: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate cached by the dedup/similarity LSH ops
+    in this process. Returns the number released. Safe to call any time —
+    the DataFrames recompute if re-used afterwards."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
+def over_cap_bucket_stats(
+    entries: DataFrame, keys: list[str], max_bucket: int
+) -> dict[str, int]:
+    """Eager candidate-volume diagnostics for a banded LSH run: total
+    buckets, buckets/rows the skew cap drops, and the candidate-pair upper
+    bound sum(w*(w-1)/2) of the surviving buckets. One extra aggregate job
+    over the (already persisted) entry table — for bench / capacity
+    planning, not the contract-query hot path."""
+    agg = entries.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bw"))
+    row = agg.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_bw") > max_bucket, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(F.when(F.col("_bw") > max_bucket, F.col("_bw")).otherwise(0)).alias(
+            "n_dropped_rows"
+        ),
+        F.sum(
+            F.when(
+                F.col("_bw") <= max_bucket,
+                (F.col("_bw") * (F.col("_bw") - 1) / 2).cast("bigint"),
+            ).otherwise(0)
+        ).alias("n_candidate_pairs_bound"),
+    ).first()
+    return {k: int(v or 0) for k, v in row.asDict().items()}
+
+
+def _log_cap_stats(op: str, entries: DataFrame, keys: list[str], max_bucket: int) -> None:
+    import sys
+
+    stats = over_cap_bucket_stats(entries, keys, max_bucket)
+    print(f"[{op}] candidate-volume {stats}", file=sys.stderr, flush=True)
+
 
 def _drop_over_cap_buckets(
     entries: DataFrame, keys: list[str], max_bucket: int
@@ -144,6 +208,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     seed: int = 42,
     engine_stable: bool = False,
+    log_stats: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -154,16 +219,17 @@ def minhash_lsh_pairs(
 
     engine_stable swaps xxhash64 for hash60 (base) and a polynomial fold
     (band bucket) so the whole candidate set is reproducible in ANSI SQL.
+    log_stats=True prints the skew cap's candidate-volume numbers to
+    stderr (one extra aggregate job). Persisted intermediates register for
+    release_persisted().
     """
-    from pyspark.storagelevel import StorageLevel
-
     rows_per_band = k // bands
     sig = minhash_signature(shingles(F.col(text_col), shingle_n), k, seed, engine_stable)
     # materialize the signature table (id + k bigints — tiny next to the
     # text): the cap count and both self-join sides consume it, and without
     # the persist each consumer re-runs the shingle+minhash CPU
-    with_sig = docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    with_sig = _track_persist(
+        docs.select(F.col(id_col).alias("a_id"), sig.alias("_sig"))
     )
 
     def bucket_col(b: int) -> Column:
@@ -191,6 +257,8 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("a_id", "_sig", "bb.band", "bb.bucket")
 
+    if log_stats:
+        _log_cap_stats("minhash_lsh_pairs", band_entries, ["band", "bucket"], max_bucket)
     band_entries = _drop_over_cap_buckets(band_entries, ["band", "bucket"], max_bucket)
 
     left = band_entries.select("band", "bucket", F.col("a_id"), F.col("_sig").alias("_siga"))
@@ -295,13 +363,15 @@ def simhash_near_dup_pairs(
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
     banding (any pair within distance 3 shares at least one exact 16-bit
     chunk — pigeonhole), then exact popcount verify."""
-    from pyspark.storagelevel import StorageLevel
-
     # one simhash pass total: the 16-byte (id, signature) table feeds the
-    # cap count and both join sides (see minhash_lsh_pairs)
-    sh = docs.select(
-        F.col(id_col), simhash64(F.col(text_col), engine_stable=engine_stable).alias("_sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # cap count and both join sides (see minhash_lsh_pairs); registered
+    # for release_persisted()
+    sh = _track_persist(
+        docs.select(
+            F.col(id_col),
+            simhash64(F.col(text_col), engine_stable=engine_stable).alias("_sh"),
+        )
+    )
     chunks = sh.select(
         id_col,
         "_sh",

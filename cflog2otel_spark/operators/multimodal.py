@@ -60,6 +60,34 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
 
 
+def _decode_image_pil(payload: bytes) -> np.ndarray:
+    """Real image decode (active when PIL is installed —
+    REAL_DECODERS_AVAILABLE): decode -> grayscale -> 4x4 downsample ->
+    16-dim pixel-mean feature, same shape as the stub so downstream
+    schema/tests are identical. Deterministic: PIL's reduce-based BILINEAR
+    resampling has no randomness."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize(
+        (4, 4), PIL.Image.BILINEAR
+    )
+    return (np.asarray(img, dtype=np.float32) / 255.0).reshape(16)
+
+
+def _decode(payload: bytes, kind: str) -> np.ndarray:
+    if REAL_DECODERS_AVAILABLE and kind == "image":
+        try:
+            return _decode_image_pil(payload)
+        except Exception:
+            # undecodable bytes: fall through to the content-hash feature
+            # rather than failing the batch (malformed media is expected
+            # in web-scale corpora)
+            return _decode_stub(payload, kind)
+    return _decode_stub(payload, kind)
+
+
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads ->
     per-item features. The batch iterator shape (many small pdfs) is what a
@@ -71,7 +99,7 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
             feats, ents = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload)
-                feats.append(_decode_stub(b, kind).tolist())
+                feats.append(_decode(b, kind).tolist())
                 counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
                 p = counts[counts > 0] / max(len(b), 1)
                 ents.append(float(-(p * np.log2(p)).sum()) if len(b) else 0.0)

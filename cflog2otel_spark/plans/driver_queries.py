@@ -646,8 +646,8 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
-def o_emb_near_dup() -> str:
-    return """
+def _o_emb_near_dup(threshold: float) -> str:
+    return f"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
       SELECT a.vec_id AS a, b.vec_id AS b,
              round(list_dot_product(a.v, b.v)
@@ -655,8 +655,28 @@ def o_emb_near_dup() -> str:
       FROM e a, e b
       WHERE a.vec_id < b.vec_id
         AND round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
     """
+
+
+def o_emb_near_dup() -> str:
+    return _o_emb_near_dup(0.4)
+
+
+def q_emb_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped near-dup job: the operator's default 0.95
+    threshold auto-sizes to ~17 bands x 2 bits — the plan a production
+    dedup run uses. The 0.4-threshold `emb_near_dup` gate above is a
+    recall-stress test only (VERDICT r2 #5): at 0.4 the band count
+    (~55) and the qualifying-pair volume are a different workload class."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+def o_emb_near_dup_strict() -> str:
+    return _o_emb_near_dup(0.95)
 
 
 # ---------------------------------------------------------- LSH oracles ---
@@ -885,14 +905,26 @@ def o_emb_ivf_topk() -> str:
     matching _cluster_col's strict-< chain)."""
     import duckdb
 
-    from ..operators.similarity import _kmeans_numpy
+    from ..operators.similarity import (
+        _kmeans_numpy,
+        _training_threshold,
+        training_filter_py,
+    )
 
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
         f"read_parquet('{_ORACLE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
     ).fetchall()
-    vecs = [r[1] for r in rows]
+    # identical deterministic sampling rule as ivf_index (hash60(id) bucket
+    # filter past sample_size=100k) so oracle and engine train the same
+    # k-means input at ANY corpus size, not just below the sample cap
+    sample_size = 100_000
+    if len(rows) > sample_size:
+        thr = _training_threshold(len(rows), sample_size)
+        vecs = [r[1] for r in rows if training_filter_py(r[0], thr)]
+    else:
+        vecs = [r[1] for r in rows]
     centers = _kmeans_numpy(vecs, 8, 42)
     qvec = next(r[1] for r in rows if r[0] == 0)
 
@@ -940,6 +972,7 @@ QUERIES = {
     "docs_quality": (q_docs_quality, o_docs_quality),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
+    "emb_near_dup_strict": (q_emb_near_dup_strict, o_emb_near_dup_strict),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, o_docs_ngram_jaccard),
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),

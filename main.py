@@ -6,12 +6,16 @@
       --out /data/sinks \
       [--format parquet|json] [--strict] [--golden-stdout] \
       [--event-time 2019-12-01T22:56:00Z] [--repartition-by-source] \
-      [--config-validate-only] [--local-collector]
+      [--config-validate-only] [--render-config] [--local-collector] \
+      [--manifest listing.json | --backfill-auto-manifest DIR]
 
 Mirrors the reference CLI surface (/root/reference/cmd/cflog2otel/main.go:43-51):
   --config-validate-only ≈ -config-validate-only
+  --render-config ≈ -render-config (evaluate jsonnet, print JSON, exit)
   --local-collector / --golden-stdout ≈ -local-collector (JSON to stdout)
-  --input ≈ -s3-url; --event-time drives the backfill lateness gate.
+  --input ≈ -s3-url; --event-time drives the backfill lateness gate;
+  --backfill-auto-manifest ≈ the ListObjectsV2 sibling listing
+  (app.go:322-336), derived from a directory's file mtimes.
 
 Package a zip for --py-files with: python scripts/make_pyfiles.py
 """
@@ -47,6 +51,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="JSON file mapping object key -> LastModified (the S3 listing); "
         "with --trigger-source and --event-time this runs the reference's "
         "full object+line backfill gate (app.go:322-368)",
+    )
+    ap.add_argument(
+        "--backfill-auto-manifest",
+        help="directory whose listing becomes the backfill manifest (keys = "
+        "paths relative to the directory, LastModified = file mtime UTC) — "
+        "the local stand-in for the reference's ListObjectsV2 sibling "
+        "discovery (app.go:322-336); alternative to --manifest",
     )
     ap.add_argument(
         "--s3-event",
@@ -165,8 +176,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
 
+        manifest = None
+        if args.manifest:
+            with open(args.manifest) as fh:
+                manifest = json.load(fh)
+        elif args.backfill_auto_manifest:
+            from cflog2otel_spark.operators.backfill import manifest_from_listing
+
+            manifest = manifest_from_listing(args.backfill_auto_manifest)
         use_manifest = bool(
-            args.manifest and args.trigger_source and args.event_time
+            manifest is not None and args.trigger_source and args.event_time
             and cfg.backfill.enabled
         )
         t0 = time.time()
@@ -194,11 +213,6 @@ def main(argv: list[str] | None = None) -> int:
             from cflog2otel_spark.lineage import resume_filter
 
             parsed = resume_filter(parsed, args.checkpoint_dir)
-
-        manifest = None
-        if args.manifest:
-            with open(args.manifest) as fh:
-                manifest = json.load(fh)
 
         results = []
         if args.s3_event:

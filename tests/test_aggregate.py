@@ -147,7 +147,7 @@ def test_null_attr_dropped_from_set(spark):
     )
     by_attrs = {json.dumps([a.asDict() for a in r["attrs"]]): r["value"] for r in out}
     assert by_attrs == {
-        '[{"key": "edge", "value": "LAX1"}]': 2,
+        '[{"key": "edge", "value": "LAX1", "value_type": "STRING"}]': 2,
         "[]": 1,
     }
 
@@ -208,3 +208,26 @@ def test_typed_attributes(spark, cf_fixture_df):
     oneofs = {a["key"]: next(iter(a["value"]["Value"])) for a in dp0["attributes"]}
     assert oneofs == {"code": "IntValue", "is5xx": "BoolValue",
                       "t2": "DoubleValue", "cat": "StringValue"}
+
+
+def test_attr_value_type_carries_static_type(spark):
+    """Sinks keep the OTel attr type (VERDICT r2 #7): value stays the
+    canonical string (grouping key / wire text), value_type records what a
+    consumer should coerce it back to."""
+    rows = [("2024-01-01 00:00:01", 1.0, "LAX1")]
+    out = _run_metric(
+        spark,
+        {
+            "name": "c",
+            "type": "Count",
+            "attributes": [
+                {"key": "s", "value": {"expr": "log.xEdgeLocation"}},
+                {"key": "i", "value": {"expr": "int(log.timeTaken)"}},
+                {"key": "b", "value": {"expr": "log.timeTaken >= 1.0"}},
+                {"key": "d", "value": {"expr": "log.timeTaken"}},
+            ],
+        },
+        rows,
+    )
+    types = {a["key"]: a["value_type"] for r in out for a in r["attrs"]}
+    assert types == {"s": "STRING", "i": "INT64", "b": "BOOL", "d": "FLOAT64"}

@@ -125,3 +125,61 @@ def test_cli_resume_skips_completed_sources(spark, tmp_path):
     assert p2.returncode == 0, p2.stderr[-2000:]
     stats2 = json.loads([l for l in p2.stderr.splitlines() if '"run"' in l][-1])
     assert stats2["run"]["rows"] == 0
+
+
+def test_cli_auto_manifest_backfill(spark, tmp_path):
+    """--backfill-auto-manifest: the manifest is derived from a directory
+    listing (file mtimes as LastModified, the local ListObjectsV2 stand-in,
+    app.go:322-336) and reproduces the e2e_backfill golden exactly."""
+    import os
+    from datetime import timezone
+
+    _, lines1 = read_cf_log_file(CF_LOG)
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    corpus = (
+        tokenized_df_from_lines(spark, lines1, SOURCE1)
+        .union(tokenized_df_from_lines(spark, lines2, SOURCE2))
+        .union(tokenized_df_from_lines(spark, lines2, RT2))
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    # materialize the "bucket": one file per object key, mtime = the
+    # LastModified the JSON manifest test pins
+    bucket = tmp_path / "bucket"
+    for key, lm in MANIFEST.items():
+        p = bucket / key
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"")
+        ts = datetime.fromisoformat(lm).replace(tzinfo=timezone.utc).timestamp()
+        os.utime(p, (ts, ts))
+    out_dir = str(tmp_path / "sinks")
+
+    proc = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--config", f"{CONFIGS}/backfil_config.json",
+            "--input", corpus_path,
+            "--out", out_dir,
+            "--event-time", EVENT_TIME,
+            "--trigger-source", SOURCE1,
+            "--backfill-auto-manifest", str(bucket),
+            "--master", "local[2]",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    sink = spark.read.parquet(f"{out_dir}/http.server.http_requests")
+    rows = {
+        (r["window_start"], r["attrs"][0]["value"]): r["value"]
+        for r in sink.collect()
+    }
+    assert rows == {
+        (datetime(2019, 12, 1, 22, 39), "4xx"): 3,
+        (datetime(2019, 12, 1, 22, 42), "2xx"): 3,
+        (datetime(2019, 12, 1, 22, 51), "5xx"): 3,
+    }

@@ -176,3 +176,97 @@ def test_ivf_ann_topk(spark, emb_df):
     # head agreement with exact search
     exact = [r["vec_id"] for r in brute_force_topk(emb_df, q, k=2).collect()]
     assert out[:2] == exact
+
+
+def test_ivf_training_sample_partition_independent(spark, emb_df):
+    """ADVICE r2: the IVF training set must be a pure function of row ids —
+    same selection under any partitioning, and row-for-row reproducible by
+    the Python/DuckDB oracle rule."""
+    from cflog2otel_spark.operators.similarity import (
+        _training_threshold,
+        training_filter_col,
+        training_filter_py,
+    )
+
+    n = emb_df.count()
+    thr = _training_threshold(n, 8)
+    ids_p1 = {
+        r[0]
+        for r in emb_df.repartition(1)
+        .filter(training_filter_col("vec_id", thr))
+        .select("vec_id")
+        .collect()
+    }
+    ids_p7 = {
+        r[0]
+        for r in emb_df.repartition(7)
+        .filter(training_filter_col("vec_id", thr))
+        .select("vec_id")
+        .collect()
+    }
+    ids_py = {i for i in range(n) if training_filter_py(i, thr)}
+    assert ids_p1 == ids_p7 == ids_py
+    assert 0 < len(ids_py) < n  # the rule actually samples
+
+
+def test_ivf_centroids_partition_independent(spark, emb_df):
+    """Centroids from ivf_index are identical under different scan layouts
+    even when the sample cap is hit (sample_size < n)."""
+    from cflog2otel_spark.operators.similarity import ivf_index
+
+    _, c1 = ivf_index(emb_df.repartition(1), n_clusters=3, sample_size=12)
+    _, c2 = ivf_index(emb_df.repartition(5), n_clusters=3, sample_size=12)
+    assert c1 == c2
+
+
+def test_lsh_index_fingerprint_invalidation(spark, emb_df, tmp_path):
+    """ADVICE r2: a persisted index keyed only by path existence serves
+    stale data after the corpus or params change. The fingerprint in
+    _index_meta.json forces a rebuild on either."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cflog2otel_spark.operators.similarity import lsh_index
+
+    path = str(tmp_path / "lsh")
+    idx1 = lsh_index(emb_df, path, n_bits=6)
+    assert idx1.count() == emb_df.count()
+    meta1 = _json.load(open(f"{path}/_index_meta.json"))
+
+    # same corpus + params -> pure read, meta unchanged
+    lsh_index(emb_df, path, n_bits=6)
+    assert _json.load(open(f"{path}/_index_meta.json")) == meta1
+
+    # corpus changed (one extra row) -> rebuild, index reflects new corpus
+    extra = spark.createDataFrame(
+        [(999, [0.5] * 16)], ["vec_id", "embedding"]
+    )
+    bigger = emb_df.union(extra)
+    idx2 = lsh_index(bigger, path, n_bits=6)
+    assert idx2.count() == emb_df.count() + 1
+    assert _json.load(open(f"{path}/_index_meta.json")) != meta1
+
+    # param change (n_bits) -> rebuild even with the same corpus
+    lsh_index(bigger, path, n_bits=7)
+    meta3 = _json.load(open(f"{path}/_index_meta.json"))
+    assert meta3 != meta1
+    sig7 = lsh_index(bigger, path, n_bits=7).filter(
+        F.col("_sig") >= (1 << 6)
+    )
+    assert sig7.count() >= 0  # readable with the 7-bit signature
+
+
+def test_ivf_write_index_fingerprint_invalidation(spark, emb_df, tmp_path):
+    from cflog2otel_spark.operators.similarity import ivf_write_index
+
+    path = str(tmp_path / "ivf")
+    df1, c1 = ivf_write_index(emb_df, path, n_clusters=3)
+    assert df1.count() == emb_df.count()
+
+    extra = spark.createDataFrame([(999, [0.5] * 16)], ["vec_id", "embedding"])
+    df2, c2 = ivf_write_index(emb_df.union(extra), path, n_clusters=3)
+    assert df2.count() == emb_df.count() + 1  # stale index NOT served
+
+    _, c3 = ivf_write_index(emb_df.union(extra), path, n_clusters=4)
+    assert len(c3) == 4  # param change rebuilds centroids
