@@ -33,17 +33,25 @@ spark = get_spark(master=f"local[{cpus}]", app_name=f"scale{cpus}",
                   shuffle_partitions=cpus)
 corpus = spark.read.parquet(corpus_path)
 n = corpus.count()
-# warm the JVM/Arrow path once on a slice so we measure the job, not startup
-warm = run_pipeline(spark, Config.from_json(MULTI_CFG), corpus.limit(1000), cache="none")
-for df in warm.sinks.values():
-    df.write.format("noop").mode("overwrite").save()
-
-t0 = time.time()
-res = run_pipeline(spark, Config.from_json(MULTI_CFG), corpus, keep_payload=False)
-write_sinks(res, f"/tmp/scale_sinks_{cpus}")
-dt = time.time() - t0
-res.unpersist()
+# The FIRST full-scale run in a fresh JVM is 3-10x slower (C2/codegen +
+# heap growth; see BENCH.md "measurement protocol") — run the job once
+# untimed at full scale, then time three steady-state runs and take the
+# MEDIAN (robust to a host-VM steal spike hitting one run). Both
+# parallelism levels get the identical protocol, so the efficiency ratio
+# compares steady states, not JIT or neighbor noise.
+import statistics
+runs = []
+for i in range(4):
+    t0 = time.time()
+    res = run_pipeline(spark, Config.from_json(MULTI_CFG), corpus, keep_payload=False)
+    write_sinks(res, f"/tmp/scale_sinks_{cpus}_{i}")
+    runs.append(round(time.time() - t0, 3))
+    res.unpersist()
+    import shutil
+    shutil.rmtree(f"/tmp/scale_sinks_{cpus}_{i}", ignore_errors=True)
+dt = statistics.median(runs[1:])
 print(json.dumps({"cpus": cpus, "rows": n, "sec": round(dt, 3),
+                  "runs": runs, "cold_sec": runs[0],
                   "seq_per_sec": round(n / dt, 1)}))
 spark.stop()
 """

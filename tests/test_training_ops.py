@@ -270,3 +270,34 @@ def test_ivf_write_index_fingerprint_invalidation(spark, emb_df, tmp_path):
 
     _, c3 = ivf_write_index(emb_df.union(extra), path, n_clusters=4)
     assert len(c3) == 4  # param change rebuilds centroids
+
+
+def test_arrow_band_buckets_match_python_oracle(spark, emb_df):
+    """The Arrow matmul hashing must implement exactly the documented
+    semantics: bit i of band b = (dot(vec, planes[b*r+i]) >= 0), bucket =
+    sum(bit_i << i) — pinned against a plain-Python recomputation."""
+    from cflog2otel_spark.operators.similarity import (
+        _band_buckets_arrow,
+        _hyperplanes,
+    )
+    from pyspark.sql import functions as F
+
+    r, n_bands = 3, 5
+    planes = _hyperplanes(16, n_bands * r, seed=7)
+    got = {
+        row["vec_id"]: row["bk"]
+        for row in emb_df.select(
+            "vec_id", _band_buckets_arrow(planes, r)(F.col("embedding")).alias("bk")
+        ).collect()
+    }
+    vecs = {row["vec_id"]: row["embedding"] for row in emb_df.collect()}
+    for vid, v in vecs.items():
+        want = []
+        for b in range(n_bands):
+            bucket = 0
+            for i in range(r):
+                d = sum(a * p for a, p in zip(v, planes[b * r + i]))
+                if d >= 0:
+                    bucket |= 1 << i
+            want.append(bucket)
+        assert got[vid] == want, vid
