@@ -287,6 +287,50 @@ def minhash_lsh_pairs(
     return pairs.withColumnRenamed("a_id", "a").withColumnRenamed("b_id", "b")
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams that appear anywhere in a benchmark set — the n-gram collision
+    check a training-corpus pipeline runs before training to drop eval
+    contamination (13-gram variant popularized by the GPT-3 paper's
+    appendix; n is a parameter here).
+
+    Scale shape: the benchmark n-gram set is bounded (eval suites are tiny
+    next to a 100 TB corpus) -> distinct + BROADCAST; the corpus side is a
+    map-side shingle explode + broadcast hash join + partially-aggregated
+    count. One shuffle of (doc_id, two counters); no corpus self-join, no
+    sort. Returns (doc_id, n_grams, n_hit, hit_ratio) for EVERY document —
+    the caller filters n_hit > 0 to quarantine.
+    """
+    g = shingles(F.col(text_col), n)
+    doc_grams = docs.select(F.col(id_col), F.explode_outer(g).alias("_g"))
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_grams.join(F.broadcast(bench), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "hit_ratio",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

@@ -802,6 +802,47 @@ def o_docs_ngram_jaccard() -> str:
     """
 
 
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate: the 'benchmark' is the deterministic
+    doc_id % 50 == 0 subset of the corpus itself, so the oracle can rebuild
+    the identical gram sets. Per-doc distinct-5-gram collision counts."""
+    from ..operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(docs, docs.filter(F.col("doc_id") % 50 == 0), n=5)
+
+
+def o_docs_contamination() -> str:
+    gram = "t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]"
+    return rf"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(
+          list_transform(range(1, len(t) - 3), i -> {gram})
+        ) ELSE [] END s FROM toks
+      ),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      agg AS (
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM grams LEFT JOIN bench ON grams.g = bench.g
+        GROUP BY 1
+      )
+      SELECT sh.doc_id,
+             CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(agg.n_hit, 0) AS BIGINT) AS n_hit,
+             CASE WHEN coalesce(agg.n_grams, 0) > 0
+                  THEN round(CAST(agg.n_hit AS DOUBLE) / agg.n_grams, 6)
+                  ELSE 0.0 END AS hit_ratio
+      FROM sh LEFT JOIN agg ON sh.doc_id = agg.doc_id
+    """
+
+
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming<=3 via 4x16-bit pigeonhole banding +
     popcount verify. engine_stable simhash (hash60 base) lets the oracle
@@ -976,6 +1017,7 @@ QUERIES = {
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, o_docs_ngram_jaccard),
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),
+    "docs_contamination": (q_docs_contamination, o_docs_contamination),
     "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
     "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
 }

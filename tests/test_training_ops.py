@@ -301,3 +301,41 @@ def test_arrow_band_buckets_match_python_oracle(spark, emb_df):
                     bucket |= 1 << i
             want.append(bucket)
         assert got[vid] == want, vid
+
+
+def test_ngram_contamination(spark):
+    """Decontamination op vs a plain-Python oracle, including a too-short
+    document (no grams) and a fully-contaminated one."""
+    from cflog2otel_spark.operators.dedup import ngram_contamination
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "completely different words appear in this one entirely"),
+        (2, "short text"),  # < n tokens -> 0 grams
+        (3, "the quick brown fox jumps over something else instead ok"),
+    ]
+    bench = [(100, "we saw the quick brown fox jumps over the hill")]
+    docs_df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench_df = spark.createDataFrame(bench, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["hit_ratio"])
+        for r in ngram_contamination(docs_df, bench_df, n=5).collect()
+    }
+
+    def grams(t, n=5):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bg = grams(bench[0][1])
+    for did, text in docs:
+        g = grams(text)
+        hit = len(g & bg)
+        assert out[did] == (len(g), hit, round(hit / len(g), 6) if g else 0.0), did
+    assert out[0][1] > 0 and out[1][1] == 0 and out[2] == (0, 0, 0.0)
+
+    # scale shape: benchmark side broadcast, no sort-merge join
+    plan = (
+        ngram_contamination(docs_df, bench_df, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
