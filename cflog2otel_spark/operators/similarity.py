@@ -242,6 +242,75 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def _probe_masks(n_bits: int, h: int) -> list[int]:
+    """All XOR masks with popcount <= h over n_bits (combinatorial, so
+    n_bits can be large without 2^n enumeration)."""
+    from itertools import combinations
+
+    out = [0]
+    for d in range(1, h + 1):
+        for bits in combinations(range(n_bits), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(m)
+    return out
+
+
+def lsh_ann_topk_batch(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Batched multi-probe LSH ANN: top-k per query vector over a prebuilt
+    `lsh_index` — the realistic serving shape (a query STREAM, not one
+    vector at a time).
+
+    The hamming<=h probe is EXPANDED on the query side: each query emits
+    every signature within h bits (sum_{d<=h} C(n_bits, d) rows — 56 for
+    n_bits=10, h=2), turning the non-equi hamming match into an exact
+    equi-join against the corpus's scanned `_sig` column. The corpus is
+    never re-hashed and never sees a theta/cross join; the expanded query
+    side is tiny and broadcast. Per-query top-k is one window over the
+    candidate set, partitioned by query id.
+
+    Returns (query_id, vec_id, cos_sim) with at most k rows per query,
+    ties broken by id.
+    """
+    from pyspark.sql import Window
+
+    dim = len(queries.select(q_vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    masks = F.array(*[F.lit(m).cast("bigint") for m in _probe_masks(n_bits, probe_hamming)])
+    probes = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(masks).alias("_mask"),
+        signature_col(F.col(q_vec_col), planes).alias("_qsig"),
+    ).select(
+        q_id_col, q_vec_col, F.col("_qsig").bitwiseXOR(F.col("_mask")).alias("_sig")
+    )
+    cand = index.join(F.broadcast(probes), "_sig")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 # ------------------------------------------------------------------- IVF ---
 
 

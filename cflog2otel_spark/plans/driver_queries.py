@@ -924,6 +924,47 @@ def o_emb_ann_topk() -> str:
     """
 
 
+def q_emb_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-probe ANN over the persisted signature index: 5 query
+    vectors at once (vec_id < 5), hamming<=2 probes expanded query-side
+    into an equi-join on the scanned _sig column, one window for per-query
+    top-k. Oracle recomputes signatures + probe + rank in SQL."""
+    from ..operators.similarity import lsh_ann_topk_batch, lsh_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    idx = lsh_index(emb, f"{_INDEX_CACHE}/lsh_{sf_name}", n_bits=10)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_ann_topk_batch(
+        idx, queries, k=20, n_bits=10, probe_hamming=2
+    )
+
+
+def o_emb_ann_batch() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 10, 42)
+    sig = " + ".join(
+        f"CASE WHEN list_dot_product({{v}}, {_dbl_arr(p)}) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i, p in enumerate(planes)
+    )
+    cos = _COS.format(a="s.v", b="q.qv")
+    return f"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s AS (SELECT vec_id, v, ({sig.format(v="v")}) AS sg FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, sg AS qsg FROM s WHERE vec_id < 5)
+      SELECT q.qid AS query_id, s.vec_id, {cos} AS cos_sim
+      FROM s, q
+      WHERE bit_count(xor(s.sg, q.qsg)) <= 2
+      QUALIFY row_number() OVER (
+        PARTITION BY q.qid ORDER BY {cos} DESC, s.vec_id
+      ) <= 20
+    """
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k probing a PREBUILT index: the corpus is
     materialized partitioned by _cluster (ivf_write_index), so the probe
@@ -1019,5 +1060,6 @@ QUERIES = {
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),
     "docs_contamination": (q_docs_contamination, o_docs_contamination),
     "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
+    "emb_ann_batch": (q_emb_ann_batch, o_emb_ann_batch),
     "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
 }

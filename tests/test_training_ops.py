@@ -339,3 +339,37 @@ def test_ngram_contamination(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lsh_ann_batch_matches_single_query(spark, emb_df):
+    """Batched multi-probe ANN == the single-query path run per query, and
+    its plan is an equi-join on the signature column (no cross join)."""
+    from pyspark.sql import functions as F
+
+    from cflog2otel_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_ann_topk_batch,
+        lsh_index,
+    )
+
+    idx = lsh_index(emb_df, n_bits=8)
+    queries = emb_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = lsh_ann_topk_batch(idx, queries, k=5, n_bits=8, probe_hamming=1)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qid in range(3):
+        qvec = [float(x) for x in VECS[qid]]
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in lsh_ann_topk(
+                emb_df, qvec, k=5, n_bits=8, probe_hamming=1, index=idx
+            ).collect()
+        ]
+        assert got[qid] == single, qid
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
