@@ -110,17 +110,29 @@ def export_otlp_http(
     gzip: bool = False,
     headers: dict[str, str] | None = None,
     timeout: float = 30.0,
+    encoding: str = "json",
 ) -> int:
     """POST each request to <endpoint>/v1/metrics (endpoint may already
     include the path). Returns the number of successful exports; raises on
-    the first HTTP failure like the reference joins exporter errors."""
+    the first HTTP failure like the reference joins exporter errors.
+
+    encoding='json' sends proto-JSON; encoding='protobuf' sends the binary
+    ExportMetricsServiceRequest (otlp_proto.encode_export_request,
+    Content-Type application/x-protobuf) — the same message bytes the
+    reference's gRPC exporter frames (app.go:207-241)."""
     url = endpoint if endpoint.rstrip("/").endswith("/v1/metrics") else (
         endpoint.rstrip("/") + "/v1/metrics"
     )
     n = 0
     for req in reqs:
-        body = json.dumps(to_wire(req)).encode()
-        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        if encoding == "protobuf":
+            from .otlp_proto import encode_export_request
+
+            body = encode_export_request(to_wire(req))
+            hdrs = {"Content-Type": "application/x-protobuf", **(headers or {})}
+        else:
+            body = json.dumps(to_wire(req)).encode()
+            hdrs = {"Content-Type": "application/json", **(headers or {})}
         if gzip:
             body = _gzip.compress(body)
             hdrs["Content-Encoding"] = "gzip"

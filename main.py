@@ -101,6 +101,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "no value, uses the config's otel.endpoint (+ otel.gzip); pass a "
         "URL to override",
     )
+    ap.add_argument(
+        "--otlp-encoding",
+        default="json",
+        choices=["json", "protobuf"],
+        help="OTLP/HTTP body encoding for --export-otlp: proto-JSON or the "
+        "binary ExportMetricsServiceRequest (application/x-protobuf — the "
+        "message bytes the reference's gRPC exporter frames)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--checkpoint-dir", help="lineage manifest dir for resumable runs")
     ap.add_argument(
@@ -316,7 +324,9 @@ def main(argv: list[str] | None = None) -> int:
             n = 0
             for res in results:
                 n += export_otlp_http(
-                    encode_otlp(res, cfg), endpoint, gzip=bool(cfg.otel.get("gzip"))
+                    encode_otlp(res, cfg), endpoint,
+                    gzip=bool(cfg.otel.get("gzip")),
+                    encoding=args.otlp_encoding,
                 )
             print(json.dumps({"exported": n}), file=sys.stderr)
         dt = time.time() - t0

@@ -115,3 +115,129 @@ def test_cli_export_otlp(spark, cf_fixture_df, tmp_path):
         assert names == {"http.server.requests", "http.server.total_bytes"}
     finally:
         srv.shutdown()
+
+
+# keys whose zero-ish values are semantically meaningful (oneof/optional
+# presence) and must survive normalization
+_KEEP = {"asInt", "asDouble", "intValue", "doubleValue", "boolValue",
+         "sum", "min", "max", "count"}
+
+
+def _norm_tree(x):
+    """Drop proto3-default (falsy) fields so encoder-omitted defaults and
+    input zeros compare equal, except explicit-presence fields."""
+    if isinstance(x, dict):
+        out = {}
+        for k, v in x.items():
+            nv = _norm_tree(v)
+            if nv or k in _KEEP or nv == 0 and k in _KEEP:
+                out[k] = nv
+        return out
+    if isinstance(x, list):
+        return [_norm_tree(v) for v in x]
+    return x
+
+
+def test_protobuf_wire_roundtrip(spark, cf_fixture_df):
+    """Binary OTLP: encode the wire tree with the hand-rolled protobuf
+    encoder, decode with the schema-aware decoder, and recover the tree
+    exactly — for a Sum/Count/Histogram mix and a histogram-only config."""
+    from cflog2otel_spark.otlp_proto import (
+        decode_export_request,
+        encode_export_request,
+    )
+
+    for cfg_name in ("multi_metrics", "request_time_histogram", "switch_case"):
+        cfg = Config.load(f"{CONFIGS}/{cfg_name}.json")
+        result = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
+        for req in encode_otlp(result, cfg):
+            wire = to_wire(req)
+            buf = encode_export_request(wire)
+            assert isinstance(buf, bytes) and len(buf) > 0
+            back = decode_export_request(buf)
+            assert _norm_tree(back) == _norm_tree(wire), cfg_name
+
+
+def test_protobuf_field_bytes_pinned():
+    """Pin a few wire bytes against hand-assembled protobuf so a field
+    number / wire-type regression cannot pass the self-roundtrip."""
+    from cflog2otel_spark.otlp_proto import encode_export_request
+
+    wire = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "a", "value": {"stringValue": "b"}}]},
+            "scopeMetrics": [{
+                "scope": {"name": "s"},
+                "metrics": [{
+                    "name": "m",
+                    "sum": {
+                        "dataPoints": [{
+                            "startTimeUnixNano": "1",
+                            "timeUnixNano": "2",
+                            "asInt": 3,
+                        }],
+                        "aggregationTemporality": 1,
+                        "isMonotonic": True,
+                    },
+                }],
+            }],
+        }]
+    }
+    buf = encode_export_request(wire)
+    # KeyValue{key(1)="a", value(2)=AnyValue{string_value(1)="b"}} inside
+    # Resource.attributes(1): 0a 08 | 0a 01 61 | 12 03 | 0a 01 62
+    assert bytes.fromhex("0a08 0a0161 1203 0a0162".replace(" ", "")) in buf
+    # Metric.name(1)="m": 0a 01 6d ; Sum is Metric field 7 (len-delim): 3a
+    assert bytes.fromhex("0a016d3a") in buf
+    # NumberDataPoint: start(2,fixed64)=1, time(3,fixed64)=2, asInt(6,sfixed64)=3
+    dp = bytes.fromhex(
+        "11 0100000000000000 19 0200000000000000 31 0300000000000000".replace(" ", "")
+    )
+    assert dp in buf
+    # Sum.aggregation_temporality(2)=1 varint + is_monotonic(3)=true
+    assert bytes.fromhex("10011801") in buf
+
+
+class _BinCollector(BaseHTTPRequestHandler):
+    received: list[tuple[dict, bytes]] = []
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        if self.headers.get("Content-Encoding") == "gzip":
+            body = gzip.decompress(body)
+        _BinCollector.received.append((dict(self.headers), body))
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+def test_export_protobuf_to_collector(spark, cf_fixture_df):
+    """End-to-end: POST application/x-protobuf (+gzip) to a live HTTP
+    collector; the collector-side decode equals the JSON wire tree."""
+    import threading
+    from http.server import HTTPServer
+
+    from cflog2otel_spark.otlp_proto import decode_export_request
+
+    cfg = Config.load(f"{CONFIGS}/multi_metrics.json")
+    result = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
+    reqs = encode_otlp(result, cfg)
+
+    srv = HTTPServer(("127.0.0.1", 0), _BinCollector)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        _BinCollector.received.clear()
+        n = export_otlp_http(
+            reqs, f"http://127.0.0.1:{srv.server_port}",
+            gzip=True, encoding="protobuf",
+        )
+        assert n == len(reqs) == len(_BinCollector.received)
+        for req, (headers, body) in zip(reqs, _BinCollector.received):
+            assert headers["Content-Type"] == "application/x-protobuf"
+            assert _norm_tree(decode_export_request(body)) == _norm_tree(to_wire(req))
+    finally:
+        srv.shutdown()
