@@ -130,7 +130,8 @@ def _norm_tree(x):
         out = {}
         for k, v in x.items():
             nv = _norm_tree(v)
-            if nv or k in _KEEP or nv == 0 and k in _KEEP:
+            # "0" u64-strings are proto3 defaults too (encoder omits them)
+            if (nv and nv != "0") or k in _KEEP:
                 out[k] = nv
         return out
     if isinstance(x, list):
@@ -241,3 +242,84 @@ def test_export_protobuf_to_collector(spark, cf_fixture_df):
             assert _norm_tree(decode_export_request(body)) == _norm_tree(to_wire(req))
     finally:
         srv.shutdown()
+
+
+def test_protobuf_roundtrip_property():
+    """Hypothesis: arbitrary well-formed wire trees survive
+    encode->decode, including unicode keys/values, negative ints, extreme
+    doubles, and empty collections."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cflog2otel_spark.otlp_proto import (
+        decode_export_request,
+        encode_export_request,
+    )
+
+    finite_double = st.floats(allow_nan=False, width=64)
+    any_value = st.one_of(
+        st.text(max_size=20).map(lambda s: {"stringValue": s}),
+        st.booleans().map(lambda b: {"boolValue": b}),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1).map(
+            lambda i: {"intValue": i}
+        ),
+        finite_double.map(lambda d: {"doubleValue": d}),
+    )
+    attr = st.fixed_dictionaries(
+        {"key": st.text(min_size=1, max_size=10), "value": any_value}
+    )
+    num_dp = st.fixed_dictionaries(
+        {
+            "startTimeUnixNano": st.integers(0, 2**63).map(str),
+            "timeUnixNano": st.integers(0, 2**63).map(str),
+            "asInt": st.integers(-(2**63), 2**63 - 1),
+        },
+        optional={"attributes": st.lists(attr, max_size=3)},
+    )
+    metric = st.fixed_dictionaries(
+        {
+            "name": st.text(min_size=1, max_size=10),
+            "sum": st.fixed_dictionaries(
+                {
+                    "dataPoints": st.lists(num_dp, min_size=1, max_size=3),
+                    "aggregationTemporality": st.sampled_from([1, 2]),
+                    "isMonotonic": st.booleans(),
+                }
+            ),
+        }
+    )
+    tree = st.fixed_dictionaries(
+        {
+            "resourceMetrics": st.lists(
+                st.fixed_dictionaries(
+                    {
+                        "resource": st.fixed_dictionaries(
+                            {"attributes": st.lists(attr, max_size=3)}
+                        ),
+                        "scopeMetrics": st.lists(
+                            st.fixed_dictionaries(
+                                {
+                                    "scope": st.fixed_dictionaries(
+                                        {"name": st.text(min_size=1, max_size=8)}
+                                    ),
+                                    "metrics": st.lists(metric, max_size=3),
+                                }
+                            ),
+                            min_size=1,
+                            max_size=2,
+                        ),
+                    }
+                ),
+                min_size=1,
+                max_size=2,
+            )
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(tree)
+    def roundtrip(t):
+        back = decode_export_request(encode_export_request(t))
+        assert _norm_tree(back) == _norm_tree(t)
+
+    roundtrip()
