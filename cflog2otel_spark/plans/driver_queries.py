@@ -386,6 +386,39 @@ def o_cf_routed_rows_5xx() -> str:
     return f"SELECT event_id FROM events WHERE {_CATEGORY_SQL_DUCK} = '5xx'"
 
 
+def q_cf_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path gate: the two-phase salted aggregation (operators/skew.py,
+    the degenerate-hot-key fallback) must produce byte-identical results to
+    a plain GROUP BY — the oracle is the unsalted SQL."""
+    from ..operators.skew import salted_aggregate
+
+    parsed = _parsed(spark, sf_dir)
+    out = salted_aggregate(
+        parsed.filter(F.col("timestamp").isNotNull()),
+        ["sc_status_category"],
+        {
+            "requests": ("count", ""),
+            "total_bytes": ("sum", "sc_bytes"),
+        },
+        n_salts=8,
+        salt_on="doc_id",
+    )
+    return out.select(
+        F.col("sc_status_category").alias("status"),
+        F.col("requests").cast("bigint").alias("requests"),
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+    )
+
+
+def o_cf_salted_agg() -> str:
+    return f"""
+      SELECT {_CATEGORY_SQL_DUCK} AS status,
+             count(*) AS requests,
+             CAST(sum(event_id % 50000 + 100) AS BIGINT) AS total_bytes
+      FROM events GROUP BY 1
+    """
+
+
 def q_cf_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token passthrough + row-count integrity in one row.
 
@@ -1035,6 +1068,23 @@ def o_emb_ivf_topk() -> str:
     """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in the driver gate (rows-only: the per-byte
+    feature math is a mapInPandas stage, not SQL-expressible — pytest holds
+    the value-level oracle): deterministic synthetic media table ->
+    Arrow-batched binary feature extraction."""
+    from ..operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    return extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.size("feature").alias("feature_dim"),
+    )
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -1045,6 +1095,7 @@ QUERIES = {
     "cf_resource_distribution": (q_cf_resource_distribution, o_cf_resource_distribution),
     "cf_routed_rows_5xx": (q_cf_routed_rows_5xx, o_cf_routed_rows_5xx),
     "cf_roundtrip_integrity": (q_cf_roundtrip_integrity, o_cf_roundtrip_integrity),
+    "cf_salted_agg": (q_cf_salted_agg, o_cf_salted_agg),
     "cf_backfill_gate": (q_cf_backfill_gate, o_cf_backfill_gate),
     "events_sum_cents": (q_events_sum_cents, o_events_sum_cents),
     "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
@@ -1062,4 +1113,7 @@ QUERIES = {
     "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
     "emb_ann_batch": (q_emb_ann_batch, o_emb_ann_batch),
     "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
+    # rows-only (no SQL oracle): mapInPandas feature extraction — the
+    # driver records the weaker check; value-level oracles live in pytest
+    "media_features": (q_media_features, None),
 }
