@@ -108,6 +108,61 @@ def fingerprint(text: Column, modulus: int = 2**31 - 1) -> Column:
     )
 
 
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """The document-level Gopher quality-filter rules (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 — the published heuristic set
+    most training pipelines start from), as named boolean columns:
+
+      word_count_ok   50 <= #words <= 100,000
+      mean_word_ok    3 <= mean word length <= 10
+      symbol_ok       (# + ellipsis) / words <= 0.1
+      alpha_ok        >= 80% of words contain an alphabetic char
+      stopword_ok     >= 2 distinct common stop words present
+
+    All JVM-side; every regex is shared verbatim with the DuckDB oracle
+    (no lookarounds — RE2 compatibility).
+    """
+    toks = token_count(text)
+    nonws_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_wl = F.when(toks > 0, nonws_chars.cast("double") / toks).otherwise(F.lit(0.0))
+    symbols = F.coalesce(F.regexp_count(text, F.lit(r"#|\.\.\.")), F.lit(0))
+    sym_ratio = F.when(toks > 0, symbols.cast("double") / toks).otherwise(F.lit(0.0))
+    words = F.split(F.trim(text), r"\s+")
+    alpha_words = F.when(
+        F.trim(text) == "", F.lit(0)
+    ).otherwise(F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))))
+    alpha_frac = F.when(toks > 0, alpha_words.cast("double") / toks).otherwise(F.lit(0.0))
+    lowered = F.lower(text)
+    distinct_stops: Column = F.lit(0)
+    for w in GOPHER_STOPS:
+        distinct_stops = distinct_stops + F.when(
+            F.coalesce(F.regexp_count(lowered, F.lit(rf"\b{w}\b")), F.lit(0)) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    return {
+        "word_count_ok": (toks >= 50) & (toks <= 100_000),
+        "mean_word_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "symbol_ok": sym_ratio <= 0.1,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stopword_ok": distinct_stops >= 2,
+    }
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule verdicts + the conjunction (`keep`). A
+    training pipeline filters on `keep`; the per-rule booleans are the
+    audit trail for why a document dropped."""
+    rules = gopher_rules(F.col(text_col))
+    cols = [v.alias(k) for k, v in rules.items()]
+    keep = None
+    for v in rules.values():
+        keep = v if keep is None else (keep & v)
+    return docs.select("doc_id", *cols, keep.alias("keep"))
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

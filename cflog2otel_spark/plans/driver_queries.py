@@ -564,6 +564,59 @@ def o_docs_fingerprint() -> str:
     """
 
 
+def q_docs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 A1.1) per document —
+    the published heuristic gate a training pipeline runs before ingest."""
+    from ..operators.text import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs)
+
+
+def o_docs_gopher() -> str:
+    from ..operators.text import GOPHER_STOPS
+
+    ntok = r"""CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+    stops = " + ".join(
+        rf"CASE WHEN len(regexp_extract_all(lower(text), '\b{w}\b')) > 0 "
+        "THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPS
+    )
+    return rf"""
+      WITH base AS (
+        SELECT doc_id, text,
+               ({ntok}) AS n,
+               length(regexp_replace(text, '\s', '', 'g')) AS nws,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS syms,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(
+                      regexp_split_to_array(trim(text), '\s+'),
+                      w -> regexp_matches(w, '[A-Za-z]')
+                    )) END AS alpha_words,
+               ({stops}) AS nstops
+        FROM documents
+      )
+      SELECT doc_id,
+        (n >= 50 AND n <= 100000) AS word_count_ok,
+        (CASE WHEN n > 0 THEN CAST(nws AS DOUBLE)/n ELSE 0.0 END >= 3.0
+         AND CASE WHEN n > 0 THEN CAST(nws AS DOUBLE)/n ELSE 0.0 END <= 10.0)
+          AS mean_word_ok,
+        (CASE WHEN n > 0 THEN CAST(syms AS DOUBLE)/n ELSE 0.0 END <= 0.1)
+          AS symbol_ok,
+        (CASE WHEN n > 0 THEN CAST(alpha_words AS DOUBLE)/n ELSE 0.0 END >= 0.8)
+          AS alpha_ok,
+        (nstops >= 2) AS stopword_ok,
+        ((n >= 50 AND n <= 100000)
+         AND (CASE WHEN n > 0 THEN CAST(nws AS DOUBLE)/n ELSE 0.0 END >= 3.0
+              AND CASE WHEN n > 0 THEN CAST(nws AS DOUBLE)/n ELSE 0.0 END <= 10.0)
+         AND (CASE WHEN n > 0 THEN CAST(syms AS DOUBLE)/n ELSE 0.0 END <= 0.1)
+         AND (CASE WHEN n > 0 THEN CAST(alpha_words AS DOUBLE)/n ELSE 0.0 END >= 0.8)
+         AND (nstops >= 2)) AS keep
+      FROM base
+    """
+
+
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length band + punct sanity + stopword
     presence), the filter a training-data pipeline gates ingestion on."""
@@ -1103,6 +1156,7 @@ QUERIES = {
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
     "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
     "docs_quality": (q_docs_quality, o_docs_quality),
+    "docs_gopher": (q_docs_gopher, o_docs_gopher),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "emb_near_dup_strict": (q_emb_near_dup_strict, o_emb_near_dup_strict),

@@ -373,3 +373,25 @@ def test_lsh_ann_batch_matches_single_query(spark, emb_df):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_edge_cases(spark):
+    """Gopher filter rules against hand-computed verdicts: empty text,
+    too-short, symbol-heavy, non-alpha-heavy, and a passing document."""
+    from cflog2otel_spark.operators.text import gopher_quality
+
+    passing = ("the data and model have to be scaled with care that is " * 5).strip()
+    docs = [
+        (0, passing),                                  # all rules pass
+        (1, ""),                                       # empty -> all fail
+        (2, "too short to pass the word count rule"),  # <50 words
+        (3, ("num 1 2 3 4 5 6 7 8 9 " * 10).strip()),  # mostly non-alpha words
+        (4, ("# " * 60).strip()),                      # symbol-heavy
+    ]
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality(spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["word_count_ok"] is False
+    assert out[2]["word_count_ok"] is False
+    assert out[3]["alpha_ok"] is False
+    assert out[4]["symbol_ok"] is False and out[4]["stopword_ok"] is False
