@@ -163,6 +163,45 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *cols, keep.alias("keep"))
 
 
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document repetition: 1 - distinct/total word n-grams (the
+    duplicate-n-gram-fraction family of Gopher A1.1 / MassiveText repetition
+    filters). 0.0 for docs with no n-grams. JVM-side, shares the shingle
+    construction with dedup.shingles but WITHOUT the distinct."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        parts = F.zip_with(parts, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.slice(parts, 1, count)
+    return F.when(
+        count > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / count,
+    ).otherwise(F.lit(0.0))
+
+
+# regexes shared verbatim with the DuckDB oracle — RE2-compatible (no
+# lookarounds), anchored on word boundaries
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Training-corpus PII scrub: emails -> <EMAIL>, IPv4s -> <IP>.
+    Order matters — emails first, so an address containing digits/dots
+    never half-matches the IP pattern afterwards."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    return (
+        F.coalesce(F.regexp_count(text, F.lit(EMAIL_RE)), F.lit(0)).cast("bigint"),
+        F.coalesce(F.regexp_count(text, F.lit(IPV4_RE)), F.lit(0)).cast("bigint"),
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

@@ -617,6 +617,76 @@ def o_docs_gopher() -> str:
     """
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-2-gram fraction (the MassiveText repetition
+    filter family) — high values flag boilerplate/spam for removal."""
+    from ..operators.text import repetition_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(repetition_ratio(F.col("text"), 2), 6).alias("rep2")
+    )
+
+
+def o_docs_repetition() -> str:
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        ELSE [] END grams FROM toks
+      )
+      SELECT doc_id,
+             CASE WHEN len(grams) > 0
+               THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                / len(grams), 6)
+               ELSE 0.0 END AS rep2
+      FROM g
+    """
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate: both engines append a deterministic email + IPv4 to
+    every document (built from doc_id), then scrub — the gate exercises the
+    shared regexes on known-present matches, not just the (clean) corpus."""
+    from ..operators.text import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 192.0.2."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    n_email, n_ip = pii_counts(augmented)
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        F.md5(scrub_pii(augmented)).alias("scrubbed_md5"),
+    )
+
+
+def o_docs_pii_scrub() -> str:
+    from ..operators.text import EMAIL_RE, IPV4_RE
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 192.0.2.' || CAST(doc_id % 255 AS VARCHAR)"
+    )
+    return rf"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all({aug}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all({aug}, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(regexp_replace({aug}, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+      FROM documents
+    """
+
+
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length band + punct sanity + stopword
     presence), the filter a training-data pipeline gates ingestion on."""
@@ -1157,6 +1227,8 @@ QUERIES = {
     "docs_lang_quality": (q_docs_lang_quality, o_docs_lang_quality),
     "docs_quality": (q_docs_quality, o_docs_quality),
     "docs_gopher": (q_docs_gopher, o_docs_gopher),
+    "docs_repetition": (q_docs_repetition, o_docs_repetition),
+    "docs_pii_scrub": (q_docs_pii_scrub, o_docs_pii_scrub),
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "emb_near_dup_strict": (q_emb_near_dup_strict, o_emb_near_dup_strict),

@@ -395,3 +395,47 @@ def test_gopher_rules_edge_cases(spark):
     assert out[2]["word_count_ok"] is False
     assert out[3]["alpha_ok"] is False
     assert out[4]["symbol_ok"] is False and out[4]["stopword_ok"] is False
+
+
+def test_repetition_ratio(spark):
+    from cflog2otel_spark.operators.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "a b a b a b"),        # grams: ab ba ab ba ab -> 2 distinct / 5
+        (1, "all words differ here completely"),
+        (2, "one"),                # no 2-grams
+        (3, ""),
+    ]
+    out = {
+        r["doc_id"]: r["rep"]
+        for r in spark.createDataFrame(docs, ["doc_id", "text"])
+        .select("doc_id", F.round(repetition_ratio(F.col("text"), 2), 6).alias("rep"))
+        .collect()
+    }
+    assert out[0] == round(1 - 2 / 5, 6)
+    assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+
+
+def test_scrub_pii(spark):
+    from cflog2otel_spark.operators.text import pii_counts, scrub_pii
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "mail me at john.doe+spam@sub.example.co.uk or 10.0.0.1 now"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.io c@d.org and ips 192.168.1.1 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    n_email, n_ip = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: (r["ne"], r["ni"], r["s"])
+        for r in df.select(
+            "doc_id", n_email.alias("ne"), n_ip.alias("ni"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[0] == (1, 1, "mail me at <EMAIL> or <IP> now")
+    assert out[1] == (0, 0, "no pii here at all")
+    assert out[2][0] == 2 and out[2][1] == 2
+    assert out[2][2] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
