@@ -164,6 +164,8 @@ def main() -> None:
         "docs_exact_dedup",
         "emb_ann_topk",   # persisted-_sig probe (index built on first run)
         "emb_ivf_topk",   # partition-pruned IVF probe
+        "docs_gopher",        # quality-filter rule evaluation, pure codegen
+        "docs_contamination", # broadcast benchmark-gram decontamination join
     ]:
         fn = QUERIES[name][0]
         t0 = time.time()
