@@ -487,6 +487,8 @@ def _band_buckets_arrow(planes: list[list[float]], bits_per_band: int):
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (x @ P >= 0).astype(np.int64)  # (n, n_bits)
         b = bits.reshape(len(x), n_bands, bits_per_band) @ weights
