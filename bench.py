@@ -124,6 +124,10 @@ def main() -> None:
     # read costs 5.4 s and doesn't fix it). So: 1 cold run reported
     # separately, then 3 timed steady-state runs — headline = their median,
     # spread over them. Each run writes to a fresh tmpdir.
+    # wall budget: under heavy host load a cold run alone has measured
+    # 300 s — degrade to fewer repetitions rather than risk the caller's
+    # timeout (always 1 cold + >= 1 timed run)
+    FLAGSHIP_BUDGET_SEC = float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "300"))
     runs: list[float] = []
     for i in range(4):
         sink_dir = tempfile.mkdtemp(prefix="bench_sinks_")
@@ -136,6 +140,12 @@ def main() -> None:
         runs.append(round(dt, 3))
         progress(f"pipeline_multi_metric run {i + 1}/4: {dt:.1f}s"
                  + (" (cold, excluded)" if i == 0 else ""))
+        if i >= 1 and sum(runs) > FLAGSHIP_BUDGET_SEC:
+            progress(
+                f"flagship budget ({FLAGSHIP_BUDGET_SEC:.0f}s) spent after "
+                f"{len(runs)} runs; reporting what we have"
+            )
+            break
     warm = runs[1:]
     flag = statistics.median(warm)
     timings["pipeline_multi_metric"] = round(flag, 3)
