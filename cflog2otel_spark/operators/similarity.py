@@ -39,22 +39,78 @@ from pyspark.sql import functions as F
 # Persisted indexes (.cache/lsh_*, .cache/ivf_*) were keyed by path existence
 # only in round 2 — a regenerated corpus or changed (n_bits, seed) served a
 # stale index silently (ADVICE r2). Every persisted index now carries a
-# fingerprint of (params + corpus row count + id range) in _index_meta.json;
-# a mismatch triggers a rebuild. The fingerprint scan is an id-only
-# count/min/max — one pruned column scan, cheap even at corpus scale.
+# fingerprint of (params + corpus row count + id range + a CONTENT sample:
+# xor of xxhash64(id, vec[0]) — ADVICE r3: count/min/max alone missed a
+# regenerated corpus with identical ids but new vector values) in
+# _index_meta.json; a mismatch triggers a rebuild. The fingerprint scan is a
+# two-column count/min/max/xor — one pruned scan, cheap even at corpus
+# scale, and the xor aggregate is order/partitioning-independent.
 
 
-def _corpus_fingerprint(emb: DataFrame, id_col: str, params: dict) -> str:
-    row = emb.agg(
+def _corpus_fingerprint(
+    emb: DataFrame, id_col: str, params: dict, content_col: str | None = None
+) -> str:
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min(F.col(id_col).cast("string")).alias("mn"),
         F.max(F.col(id_col).cast("string")).alias("mx"),
-    ).first()
+    ]
+    if content_col is not None:
+        # xor (not sum) so the bigint aggregate can't overflow under ANSI;
+        # first vector component is enough to catch a reseeded generator
+        aggs.append(
+            F.bit_xor(
+                F.xxhash64(
+                    F.col(id_col).cast("string"),
+                    F.get(F.col(content_col), 0).cast("double"),
+                )
+            ).alias("ch")
+        )
+    row = emb.agg(*aggs).first()
     payload = json.dumps(
-        {"n": row["n"], "min": row["mn"], "max": row["mx"], **params},
+        {
+            "n": row["n"], "min": row["mn"], "max": row["mx"],
+            "content": row["ch"] if content_col is not None else None,
+            **params,
+        },
         sort_keys=True,
     )
     return hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+
+
+# One fingerprint aggregate per (session, corpus plan, index path, params) —
+# after the first build/validation in a session the index path is a pure
+# read with no Spark job over the corpus (ADVICE r3 #4). The corpus is
+# identified by its ANALYZED-PLAN semantic hash (no job, no collect): a
+# different input DataFrame — extra rows unioned, another path — changes
+# the hash and recomputes, so within-session staleness detection (the r2
+# guarantee) is preserved. Only a byte-level rewrite of the SAME files
+# within one live session escapes notice until the next session; the
+# content-xor in the fingerprint still catches it cross-session.
+_FP_CACHE: dict[tuple[str, str, str, str], str] = {}
+
+
+def _plan_hash(df: DataFrame) -> str | None:
+    try:
+        return str(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return None  # internal API unavailable -> disable caching
+
+
+def _cached_fingerprint(
+    emb: DataFrame, id_col: str, params: dict, path: str,
+    content_col: str | None = None,
+) -> str:
+    plan = _plan_hash(emb)
+    if plan is None:
+        return _corpus_fingerprint(emb, id_col, params, content_col)
+    app_id = emb.sparkSession.sparkContext.applicationId
+    key = (app_id, plan, path, json.dumps(params, sort_keys=True))
+    if key not in _FP_CACHE:
+        for k in [k for k in _FP_CACHE if k[0] != app_id]:
+            del _FP_CACHE[k]
+        _FP_CACHE[key] = _corpus_fingerprint(emb, id_col, params, content_col)
+    return _FP_CACHE[key]
 
 
 def _index_meta_matches(path: str, fingerprint: str) -> bool:
@@ -187,9 +243,10 @@ def lsh_index(
     signature dim is read from the first row only at build time.
 
     The persisted index is fingerprinted by (n_bits, seed, dim, corpus row
-    count + id range); a parameter change or regenerated corpus rebuilds it
-    instead of serving a stale table. After the build, calls with the same
-    corpus are pure reads."""
+    count + id range + content xor); a parameter change or regenerated
+    corpus — even one with identical ids — rebuilds it instead of serving a
+    stale table. After the first fingerprint check in a session, calls with
+    the same corpus are pure reads (per-session fingerprint cache)."""
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bits, seed)
     with_sig = emb.select(
@@ -197,8 +254,9 @@ def lsh_index(
     )
     if path is None:
         return with_sig
-    fp = _corpus_fingerprint(
-        emb, id_col, {"kind": "lsh", "n_bits": n_bits, "seed": seed, "dim": dim}
+    fp = _cached_fingerprint(
+        emb, id_col, {"kind": "lsh", "n_bits": n_bits, "seed": seed, "dim": dim},
+        path, content_col=vec_col,
     )
     if not (os.path.exists(f"{path}/_SUCCESS") and _index_meta_matches(path, fp)):
         with_sig.write.mode("overwrite").parquet(path)
@@ -412,12 +470,14 @@ def ivf_write_index(
     touches the rest of the corpus (PartitionFilters in the plan).
 
     Fingerprinted like lsh_index: (n_clusters, seed, corpus row count + id
-    range) — a parameter change or regenerated corpus rebuilds instead of
-    serving stale centroids/partitions. After the build, calls with the
-    same corpus are pure reads."""
+    range + content xor) — a parameter change or regenerated corpus
+    rebuilds instead of serving stale centroids/partitions. After the first
+    fingerprint check in a session, calls with the same corpus are pure
+    reads (per-session fingerprint cache)."""
     spark = emb.sparkSession
-    fp = _corpus_fingerprint(
-        emb, id_col, {"kind": "ivf", "n_clusters": n_clusters, "seed": seed}
+    fp = _cached_fingerprint(
+        emb, id_col, {"kind": "ivf", "n_clusters": n_clusters, "seed": seed},
+        path, content_col=vec_col,
     )
     if not (
         os.path.exists(f"{path}/centroids.json") and _index_meta_matches(path, fp)
@@ -546,15 +606,21 @@ def embedding_near_dup_pairs(
     from .dedup import _drop_over_cap_buckets, _log_cap_stats, _track_persist
 
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # threshold >= 1.0 (exact-dup request) gives p_bit == 1.0, which the
+    # log-based sizing below divides by log(1.0) — clamp so it degrades to
+    # the widest banding instead of ZeroDivisionError (ADVICE r3)
+    p_bit = min(p_bit, 1.0 - 1e-9)
 
     def bands_for(r: int) -> int:
         return max(8, math.ceil(math.log(miss_prob) / math.log(1.0 - p_bit**r)))
 
     if bits_per_band is None:
-        # largest r keeping per-band true-pair collision >= 0.3, then back
-        # off until the total hyperplane count fits the expression budget
-        # (each plane is a dim-wide literal array in the codegen'd plan)
-        bits_per_band = max(2, math.floor(math.log(0.3) / math.log(p_bit)))
+        # largest r keeping per-band true-pair collision >= 0.3 (capped at
+        # 63: the near-1.0-threshold limit would otherwise start the
+        # back-off loop at ~1e9), then back off until the total hyperplane
+        # count fits the expression budget (each plane is a dim-wide
+        # literal array in the codegen'd plan)
+        bits_per_band = max(2, min(63, math.floor(math.log(0.3) / math.log(p_bit))))
         while bits_per_band > 2 and bits_per_band * bands_for(bits_per_band) > max_total_bits:
             bits_per_band -= 1
     if n_bands is None:

@@ -819,20 +819,66 @@ def o_emb_near_dup() -> str:
     return _o_emb_near_dup(0.4)
 
 
+# The driver's embeddings corpus has NO pairs at cosine >= 0.95, so the
+# strict gate would verify only precision (0 == 0 rows, VERDICT r3 #1). Both
+# engines therefore PLANT k deterministic near-dup partners before running:
+# for vec_id < k, a clone with vec_id + PLANT_BASE whose components are
+# scaled by alternating 1.15/0.85. cos(v, planted) =
+# (1 + 0.15*beta) / sqrt(1.0225 + 0.3*beta) for beta = (sum of even-index
+# v_i^2 - odd-index v_i^2)/|v|^2 in [-1, 1], minimized at beta=0 ->
+# 0.98894 — always >= 0.95, never exactly 1.0 in practice, so the banding
+# must actually RECALL these pairs (sign bits of v and 1.15/0.85-scaled v
+# differ per hyperplane). Arithmetic is float->double then IEEE double
+# multiply in both engines — bit-exact cross-engine.
+_STRICT_PLANT_K = 8
+_STRICT_PLANT_BASE = 10_000_000
+
+
 def q_emb_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-shaped near-dup job: the operator's default 0.95
-    threshold auto-sizes to ~17 bands x 2 bits — the plan a production
+    threshold auto-sizes to ~43 bands x 7 bits — the plan a production
     dedup run uses. The 0.4-threshold `emb_near_dup` gate above is a
-    recall-stress test only (VERDICT r2 #5): at 0.4 the band count
-    (~55) and the qualifying-pair volume are a different workload class."""
+    recall-stress test only (VERDICT r2 #5): at 0.4 the band count and the
+    qualifying-pair volume are a different workload class. The corpus is
+    augmented with planted >= 0.95 pairs (see _STRICT_PLANT_K above) so the
+    exact all-pairs oracle verifies RECALL at the production banding, not
+    just no-false-positives."""
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.95)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < _STRICT_PLANT_K).select(
+        (F.col("vec_id") + F.lit(_STRICT_PLANT_BASE)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CASE WHEN i % 2 = 0 THEN 1.15D ELSE 0.85D END))"
+        ).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(base.unionByName(planted), threshold=0.95)
 
 
 def o_emb_near_dup_strict() -> str:
-    return _o_emb_near_dup(0.95)
+    plant = (
+        f"SELECT vec_id + {_STRICT_PLANT_BASE} AS vec_id, "
+        "list_transform(range(1, len(v) + 1), i -> v[i] * "
+        "(CASE WHEN (i - 1) % 2 = 0 THEN CAST('1.15' AS DOUBLE) "
+        "ELSE CAST('0.85' AS DOUBLE) END)) AS v "
+        f"FROM raw WHERE vec_id < {_STRICT_PLANT_K}"
+    )
+    return f"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      e AS (SELECT vec_id, v FROM raw UNION ALL {plant})
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+    """
 
 
 # ---------------------------------------------------------- LSH oracles ---

@@ -439,3 +439,55 @@ def test_scrub_pii(spark):
     assert out[1] == (0, 0, "no pii here at all")
     assert out[2][0] == 2 and out[2][1] == 2
     assert out[2][2] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+
+
+def test_near_dup_threshold_one_no_crash(spark):
+    """ADVICE r3: threshold >= 1.0 made the log-based band sizing divide by
+    log(1.0). The clamp must degrade to a wide banding that still finds
+    exact duplicates instead of raising ZeroDivisionError."""
+    import numpy as np
+
+    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(10, 16))
+    base[4] = base[1]  # exact duplicate pair (1, 4)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(df, threshold=1.0).collect()
+    }
+    assert (1, 4) in pairs
+
+
+def test_fingerprint_detects_content_change(spark, tmp_path):
+    """ADVICE r3: a regenerated corpus with the SAME ids/count/id-range but
+    different vector values must invalidate a persisted index (the old
+    count/min/max fingerprint missed this). Also: repeated calls with the
+    same corpus hit the per-session fingerprint cache (no re-aggregate)."""
+    import json as _json
+
+    from cflog2otel_spark.operators.similarity import (
+        _FP_CACHE,
+        lsh_index,
+    )
+
+    rows_v1 = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(10)]
+    rows_v2 = [(i, [float(i) + 0.5, 1.0, 2.0, 3.0]) for i in range(10)]
+    path = str(tmp_path / "lsh_content")
+
+    df1 = spark.createDataFrame(rows_v1, ["vec_id", "embedding"])
+    lsh_index(df1, path, n_bits=4)
+    meta1 = _json.load(open(f"{path}/_index_meta.json"))
+
+    # same ids, same count, same id min/max — only values differ
+    df2 = spark.createDataFrame(rows_v2, ["vec_id", "embedding"])
+    lsh_index(df2, path, n_bits=4)
+    meta2 = _json.load(open(f"{path}/_index_meta.json"))
+    assert meta2 != meta1, "content change must change the fingerprint"
+
+    # same plan + params again -> cache hit (entry exists for this session)
+    n_before = len(_FP_CACHE)
+    lsh_index(df2, path, n_bits=4)
+    assert len(_FP_CACHE) == n_before
