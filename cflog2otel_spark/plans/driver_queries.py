@@ -1237,14 +1237,30 @@ def o_emb_ivf_topk() -> str:
     """
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing in the driver gate (rows-only: the per-byte
-    feature math is a mapInPandas stage, not SQL-expressible — pytest holds
-    the value-level oracle): deterministic synthetic media table ->
-    Arrow-batched binary feature extraction."""
-    from ..operators.multimodal import extract_features, synthetic_media
+# the deterministic media table is materialized ONCE as a plain parquet file
+# (pyarrow, no Spark) that both the Spark query and the DuckDB oracle read —
+# that is what lets the mapInPandas stage have a value-level SQL oracle at
+# all (VERDICT r3 #2: this was the one `no_oracle` gate row)
+_MEDIA_N = 64
 
-    media = synthetic_media(spark, 64)
+
+def _media_path() -> str:
+    from ..operators.multimodal import ensure_media_parquet
+
+    return ensure_media_parquet(f"{_INDEX_CACHE}/media_{_MEDIA_N}.parquet", _MEDIA_N)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal gate: Arrow-batched mapInPandas binary feature extraction
+    over the shared synthetic media parquet. Fully oracled: n_bytes/kind
+    are direct SQL, byte_entropy is re-derived in DuckDB from the same
+    payload bytes (hex -> byte list -> byte histogram -> Shannon entropy),
+    feature_dim is the fixed 16 of the decode contract. Only the `feature`
+    VALUES stay pytest-oracled (the mapInPandas decode output is dropped
+    from the gate projection after its length is checked)."""
+    from ..operators.multimodal import extract_features
+
+    media = spark.read.parquet(_media_path())
     return extract_features(media).select(
         "media_id",
         "kind",
@@ -1252,6 +1268,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_entropy", 6).alias("byte_entropy"),
         F.size("feature").alias("feature_dim"),
     )
+
+
+def o_media_features() -> str:
+    path = _media_path()
+    return f"""
+      WITH m AS (
+        SELECT media_id, kind, octet_length(payload) AS n, hex(payload) AS hx
+        FROM read_parquet('{path}')
+      ),
+      b AS (
+        SELECT media_id, kind, n,
+               list_transform(range(1, n + 1), i ->
+                   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bs
+        FROM m
+      ),
+      c AS (
+        SELECT media_id, kind, n,
+               list_filter(list_transform(range(0, 256),
+                 v -> len(list_filter(bs, x -> x = v))), cc -> cc > 0) AS cs
+        FROM b
+      )
+      SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+             round(-list_sum(list_transform(cs,
+               cc -> (CAST(cc AS DOUBLE)/n) * log2(CAST(cc AS DOUBLE)/n))), 6)
+               AS byte_entropy,
+             CAST(16 AS INTEGER) AS feature_dim
+      FROM c
+    """
 
 
 QUERIES = {
@@ -1285,7 +1330,8 @@ QUERIES = {
     "emb_ann_topk": (q_emb_ann_topk, o_emb_ann_topk),
     "emb_ann_batch": (q_emb_ann_batch, o_emb_ann_batch),
     "emb_ivf_topk": (q_emb_ivf_topk, o_emb_ivf_topk),
-    # rows-only (no SQL oracle): mapInPandas feature extraction — the
-    # driver records the weaker check; value-level oracles live in pytest
-    "media_features": (q_media_features, None),
+    # mapInPandas feature extraction, oracled end-to-end against the shared
+    # media parquet (entropy re-derived in SQL); only the 16 feature VALUES
+    # remain pytest-oracled
+    "media_features": (q_media_features, o_media_features),
 }
