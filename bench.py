@@ -160,6 +160,51 @@ def main() -> None:
         f"({n_rows/flag:.0f} seq/s)"
     )
 
+    # strict-mode flagship (ANSI casts + in-dataflow raise guards replace
+    # try_cast/try_to_timestamp): one warm run quantifying the overhead the
+    # reference's fail-the-file semantics cost vs lenient (VERDICT r3 #9)
+    sink_dir = tempfile.mkdtemp(prefix="bench_strict_")
+    t0 = time.time()
+    result = run_pipeline(spark, cfg, corpus, keep_payload=False, strict=True)
+    write_sinks(result, sink_dir)
+    timings["pipeline_strict"] = round(time.time() - t0, 3)
+    result.unpersist()
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    progress(
+        f"pipeline_strict {timings['pipeline_strict']}s "
+        f"({timings['pipeline_strict'] / flag:.2f}x lenient median)"
+    )
+
+    # streaming flagship (T1-T5 were fixture-tested only, VERDICT r3 #8):
+    # availableNow drain of the same corpus. Two variants: the single-pass
+    # foreachBatch fan-out (one decode/parse shared by all metric sinks —
+    # the scan-cost-parity path) and the N-stateful-queries path (one
+    # windowed query per metric, N scans — the unbounded-stream shape)
+    from cflog2otel_spark.streaming.stream import (
+        run_streaming_pipeline,
+        run_streaming_pipeline_single_pass,
+    )
+
+    for label, launch in [
+        ("pipeline_stream", lambda o, c: run_streaming_pipeline_single_pass(
+            spark, cfg, corpus_path, o, c, trigger_once=True)),
+        ("pipeline_stream_stateful", lambda o, c: run_streaming_pipeline(
+            spark, cfg, corpus_path, o, c, watermark="1 hour",
+            trigger_once=True)),
+    ]:
+        stream_out = tempfile.mkdtemp(prefix="bench_stream_out_")
+        stream_ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        t0 = time.time()
+        for q in launch(stream_out, stream_ckpt):
+            q.awaitTermination()
+        timings[label] = round(time.time() - t0, 3)
+        shutil.rmtree(stream_out, ignore_errors=True)
+        shutil.rmtree(stream_ckpt, ignore_errors=True)
+        progress(
+            f"{label} {timings[label]}s "
+            f"({timings[label] / flag:.2f}x batch median)"
+        )
+
     # driver-table queries (same entries the correctness gate runs)
     from cflog2otel_spark.plans.driver_queries import QUERIES
 
@@ -215,7 +260,14 @@ def main() -> None:
     progress(f"emb_near_dup_strict {timings['emb_near_dup_strict']}s")
 
     # drop the LSH signature/entry caches these ops persisted (ADVICE r2)
-    progress(f"released {release_persisted()} persisted intermediates")
+    # and the shared parsed-events persist (VERDICT r3 #6) — symmetric
+    # release so a long-lived session holds no stale storage blocks
+    from cflog2otel_spark.plans.driver_queries import release_parsed
+
+    progress(
+        f"released {release_persisted()} persisted intermediates, "
+        f"{release_parsed()} parsed caches"
+    )
 
     total = round(sum(timings.values()), 3)
     print(

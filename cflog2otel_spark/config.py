@@ -91,12 +91,18 @@ def _sql_literal(v: Any) -> str:
 class CELCapable:
     """A config value that is a literal, a CEL expr, or a switch.
 
-    `sql` is the translated Spark SQL expression string.
+    `sql` is the translated Spark SQL expression string; `raw` keeps the
+    original JSON value so a loaded config serializes back to its source
+    form — exactly what the reference's CELCapable.MarshalJSON does
+    (cel.go:135-137 returns the raw bytes verbatim).
     """
 
     sql: str
     is_literal: bool = False
     literal: Any = None
+    # render-only state: two configs with the same compiled behavior are
+    # EQUAL even if their source spelling differs (jsonnet vs ported JSON)
+    raw: Any = field(default=None, compare=False)
 
     @classmethod
     def from_json(
@@ -109,13 +115,13 @@ class CELCapable:
             keys = set(v.keys())
             if keys == {"expr"}:
                 try:
-                    return cls(sql=translate(v["expr"]))
+                    return cls(sql=translate(v["expr"]), raw=v)
                 except CELTranslationError as exc:
                     raise ConfigError(f"{where}: {exc}") from exc
             if keys == {"switch"}:
-                return cls(sql=_switch_to_sql(v["switch"], where, switch_zero))
+                return cls(sql=_switch_to_sql(v["switch"], where, switch_zero), raw=v)
             raise ConfigError(f"{where}: unknown object shape {sorted(keys)}")
-        return cls(sql=_sql_literal(v), is_literal=True, literal=v)
+        return cls(sql=_sql_literal(v), is_literal=True, literal=v, raw=v)
 
 
 def _switch_to_sql(cases: Any, where: str, zero_sql: str | None = None) -> str:
@@ -204,6 +210,9 @@ class AttributeConfig:
             raise ConfigError(f"{where}: attribute value is required")  # config.go:240-243
         return cls(key=d["key"], value=CELCapable.from_json(d["value"], f"{where}.value"))
 
+    def to_json(self) -> dict:
+        return {"key": self.key, "value": self.value.raw}
+
 
 @dataclass
 class MetricsConfig:
@@ -219,6 +228,11 @@ class MetricsConfig:
     is_cumulative: bool = False
     boundaries: list[float] = field(default_factory=lambda: list(DEFAULT_BOUNDARIES))
     no_min_max: bool = False
+    # render-fidelity state: the interval string after Validate's "" -> "1m"
+    # defaulting (config.go:133-135) and the user's raw boundaries (Go only
+    # mutates Boundaries for Histogram metrics, config.go:167-170)
+    interval_raw: str = field(default="1m", compare=False)
+    boundaries_raw: list[float] | None = field(default=None, compare=False)
 
     @classmethod
     def from_json(cls, d: Any, where: str) -> "MetricsConfig":
@@ -274,7 +288,8 @@ class MetricsConfig:
         if mtype in ("Sum", "Histogram") and value is None:
             raise ConfigError(f"{where}: value is required for {mtype} metrics")
 
-        bounds = d.get("boundaries")
+        raw_bounds = d.get("boundaries")
+        bounds = raw_bounds
         if mtype == "Histogram":
             if not bounds:
                 bounds = list(DEFAULT_BOUNDARIES)  # config.go:167-170
@@ -300,12 +315,46 @@ class MetricsConfig:
             is_cumulative=bool(d.get("is_cumulative", False)),
             boundaries=bounds,
             no_min_max=bool(d.get("no_min_max", False)),
+            interval_raw=str(d.get("interval") or "1m"),
+            boundaries_raw=(
+                bounds if mtype == "Histogram"
+                else ([float(b) for b in raw_bounds] if raw_bounds else None)
+            ),
         )
 
     @property
     def temporality(self) -> str:
         # label only; no cross-run accumulation (aggregation.go:152-155)
         return "CumulativeTemporality" if self.is_cumulative else "DeltaTemporality"
+
+    def to_json(self) -> dict:
+        """Defaults-applied JSON form, matching what the reference's
+        `json.Marshal(cfg)` emits after Validate mutated the struct
+        (interval defaulted to "1m", Histogram boundaries filled in):
+        field order per the Go struct tags, omitempty semantics, CELCapable
+        values rendered as their raw source form."""
+        out: dict[str, Any] = {"name": self.name}
+        if self.description:
+            out["description"] = self.description
+        out["interval"] = self.interval_raw
+        if self.unit:
+            out["unit"] = self.unit
+        out["type"] = self.type
+        if self.attributes:
+            out["attributes"] = [a.to_json() for a in self.attributes]
+        if self.filter is not None:
+            out["filter"] = self.filter.raw
+        if self.value is not None:
+            out["value"] = self.value.raw
+        if self.is_monotonic:
+            out["is_monotonic"] = True
+        if self.is_cumulative:
+            out["is_cumulative"] = True
+        if self.boundaries_raw is not None:
+            out["boundaries"] = self.boundaries_raw
+        if self.no_min_max:
+            out["no_min_max"] = True
+        return out
 
 
 @dataclass
@@ -325,11 +374,21 @@ class ScopeConfig:
             schema_url=d.get("schema_url", "") or "",
         )
 
+    def to_json(self) -> dict:
+        # ScopeConfig.Name has no omitempty (config.go:46) — always present
+        out: dict[str, Any] = {"name": self.name}
+        if self.version:
+            out["version"] = self.version
+        if self.schema_url:
+            out["schema_url"] = self.schema_url
+        return out
+
 
 @dataclass
 class BackfillConfig:
     enabled: bool = False
     time_tolerance_seconds: float = 3600.0  # default 1h (config.go:329-331)
+    time_tolerance_raw: str = field(default="", compare=False)
 
     @classmethod
     def from_json(cls, d: Any) -> "BackfillConfig":
@@ -340,7 +399,16 @@ class BackfillConfig:
         return cls(
             enabled=bool(d.get("enabled", False)),
             time_tolerance_seconds=parse_duration(tol) if tol else 3600.0,
+            time_tolerance_raw=str(tol or ""),
         )
+
+    def to_json(self) -> dict:
+        out: dict[str, Any] = {}
+        if self.enabled:
+            out["enabled"] = True
+        if self.time_tolerance_raw:
+            out["time_tolerance"] = self.time_tolerance_raw
+        return out
 
 
 @dataclass
@@ -377,6 +445,26 @@ class Config:
             no_skip=bool(d.get("no_skip", False)),
             otel=d.get("otel", {}) or {},
         )
+
+    def to_json(self) -> dict:
+        """Serialize the LOADED config back to JSON with defaults applied —
+        the `-render-config` contract (cmd/cflog2otel/main.go:61-68 marshals
+        the validated Config struct, so e.g. a metric that omitted
+        `interval` renders with "1m" and a Histogram without boundaries
+        renders the default bucket list). Shape mirrors the Go struct tags:
+        otel/scope/backfill always present (Go can't omit structs), empty
+        scalar fields omitted, CELCapable values in their raw source form."""
+        out: dict[str, Any] = {
+            "otel": {k: v for k, v in self.otel.items() if v},
+        }
+        if self.resource_attributes:
+            out["resource_attributes"] = [a.to_json() for a in self.resource_attributes]
+        out["scope"] = self.scope.to_json()
+        out["metrics"] = [m.to_json() for m in self.metrics]
+        out["backfill"] = self.backfill.to_json()
+        if self.no_skip:
+            out["no_skip"] = True
+        return out
 
     @classmethod
     def render(cls, path: str) -> Any:

@@ -144,3 +144,69 @@ def export_otlp_http(
                 )
         n += 1
     return n
+
+
+# ------------------------------------------------------- OTLP gRPC (opt-in) ---
+#
+# The reference's native transport is OTLP gRPC (app.go:243-258). The
+# sandbox has no grpc bindings, so this path is feature-gated like the PIL
+# decode: detect at import, raise a clear error when absent, and ship the
+# already-byte-correct otlp_proto message over a raw grpc unary call when
+# the bindings exist (no generated stubs needed — the serializer is
+# identity over our hand-encoded ExportMetricsServiceRequest bytes).
+
+GRPC_AVAILABLE = False
+try:  # pragma: no cover - not installed in this container
+    import grpc  # noqa: F401
+
+    GRPC_AVAILABLE = True
+except ImportError:
+    pass
+
+_GRPC_EXPORT_METHOD = (
+    "/opentelemetry.proto.collector.metrics.v1.MetricsService/Export"
+)
+
+
+def export_otlp_grpc(
+    reqs: list[dict],
+    endpoint: str,
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+    insecure: bool = True,
+) -> int:
+    """Export over OTLP gRPC — the reference's exact wire (app.go:243-258).
+    Frames otlp_proto.encode_export_request bytes (the same message the
+    HTTP-protobuf path sends, pinned-field-tested) through a generic unary
+    call, so no generated protobuf stubs are required. Raises RuntimeError
+    when the grpc package is not installed (GRPC_AVAILABLE False)."""
+    if not GRPC_AVAILABLE:
+        raise RuntimeError(
+            "grpc bindings are not installed; use export_otlp_http "
+            "(encoding='protobuf' sends the identical message bytes)"
+        )
+    import grpc
+
+    from .otlp_proto import encode_export_request
+
+    target = endpoint.replace("http://", "").replace("https://", "")
+    channel = (
+        grpc.insecure_channel(target)
+        if insecure
+        else grpc.secure_channel(target, grpc.ssl_channel_credentials())
+    )
+    md = list((headers or {}).items())
+    n = 0
+    try:
+        call = channel.unary_unary(
+            _GRPC_EXPORT_METHOD,
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        for req in reqs:
+            call(encode_export_request(to_wire(req)), timeout=timeout,
+                 metadata=md or None)
+            n += 1
+    finally:
+        channel.close()
+    return n

@@ -131,6 +131,22 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PARSED_CACHE[key]
 
 
+def release_parsed() -> int:
+    """Unpersist and drop every cached parse (the symmetric twin of
+    dedup.release_persisted, VERDICT r3 #6): bench/contract harnesses call
+    this when done so long-lived sessions don't accumulate stale storage-
+    level blocks for sf_dirs they've finished with."""
+    n = 0
+    for k in list(_PARSED_CACHE):
+        try:
+            _PARSED_CACHE[k].unpersist()
+        except Exception:
+            pass  # dead session: nothing to release
+        del _PARSED_CACHE[k]
+        n += 1
+    return n
+
+
 def _metric_cfg(metric: dict, resource_attrs: list | None = None) -> Config:
     return Config.from_json(
         {
@@ -1004,6 +1020,71 @@ def o_docs_ngram_jaccard() -> str:
     """
 
 
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: near-dup candidate pairs (engine-stable MinHash
+    LSH) -> connected components (iterative min-label propagation, id-only
+    joins) -> one canonical keeper per cluster. The oracle rebuilds the
+    identical pair set, then takes the transitive closure with a recursive
+    CTE — doc A ~ B ~ C must collapse to one cluster even when (A, C)
+    never collided in any band."""
+    from ..operators.clustering import dedup_keep
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, engine_stable=True).select("a", "b")
+    return dedup_keep(docs, pairs)
+
+
+def o_docs_dedup_clusters() -> str:
+    cand_sql = o_docs_minhash_pairs()
+    return f"""
+      WITH RECURSIVE cand AS ({cand_sql}),
+      edges AS (
+        SELECT a AS u, b AS v FROM cand
+        UNION
+        SELECT b AS u, a AS v FROM cand
+      ),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      ),
+      comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+      )
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash60(doc_id || salt) mod
+    10k against cumulative thresholds — partition-independent, stable as
+    the corpus grows (a doc never migrates between splits), reproducible
+    row-for-row by the SQL oracle."""
+    from ..operators.clustering import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+
+
+def o_docs_split() -> str:
+    h = _H60.format(x="concat(CAST(doc_id AS VARCHAR), ':split')")
+    return f"""
+      SELECT doc_id,
+             CASE WHEN ({h}) % 10000 < 8000 THEN 'train'
+                  WHEN ({h}) % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """
+
+
 def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination gate: the 'benchmark' is the deterministic
     doc_id % 50 == 0 subset of the corpus itself, so the oracle can rebuild
@@ -1323,6 +1404,8 @@ QUERIES = {
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "emb_near_dup_strict": (q_emb_near_dup_strict, o_emb_near_dup_strict),
+    "docs_dedup_clusters": (q_docs_dedup_clusters, o_docs_dedup_clusters),
+    "docs_split": (q_docs_split, o_docs_split),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, o_docs_ngram_jaccard),
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),

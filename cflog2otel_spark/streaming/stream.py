@@ -100,3 +100,59 @@ def run_streaming_pipeline(
         w = w.trigger(availableNow=True) if trigger_once else w.trigger(processingTime="30 seconds")
         queries.append(w.start())
     return queries
+
+
+def run_streaming_pipeline_single_pass(
+    spark: SparkSession,
+    cfg: Config,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 64,
+):
+    """Single-scan streaming fan-out: ONE query whose foreachBatch decodes/
+    parses the micro-batch once and derives EVERY metric sink from that
+    shared projection — the streaming twin of the batch pipeline's cached
+    fan-out (A2). The N-stateful-queries path above scans and parses the
+    corpus once PER metric (measured 4.1x the batch flagship for 4 metrics
+    at sf0.01); this path pays one decode/parse total.
+
+    Semantics: each micro-batch emits its windows' DELTAS as rows keyed by
+    `_batch_id` — exactly the reference's per-invocation delta export
+    (app.go:206-241 aggregates one notification and exports; cross-
+    invocation windows produce multiple deltas the OTLP consumer sums, and
+    the reference never accumulates across invocations, aggregation.go:
+    152-155). Reading a sink therefore sums value-columns per window —
+    the same contract as summing delta data points. Exactly-once on retry:
+    the batch's `_batch_id` partition is dynamically overwritten, so a
+    replayed micro-batch replaces its own rows instead of duplicating.
+    """
+    from pyspark.sql import functions as F
+
+    def process(batch_df, batch_id: int) -> None:
+        parsed = enrich(decode_and_parse(batch_df, keep_payload=False))
+        parsed.persist()
+        try:
+            for m in cfg.metrics:
+                safe = m.name.replace("/", "_")
+                (
+                    aggregate_metric(parsed, cfg, m)
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(f"{out_dir}/{safe}")
+                )
+        finally:
+            parsed.unpersist()
+
+    stream = read_tokenized_stream(spark, input_path, max_files_per_trigger)
+    w = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{checkpoint_dir}/single_pass")
+    )
+    w = w.trigger(availableNow=True) if trigger_once else w.trigger(
+        processingTime="30 seconds"
+    )
+    return [w.start()]

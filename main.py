@@ -72,8 +72,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument(
         "--render-config",
         action="store_true",
-        help="evaluate the config (jsonnet or JSON) and print the JSON "
-        "document Config.load consumed, then exit "
+        help="evaluate + load the config (jsonnet or JSON) and print its "
+        "defaults-applied JSON form, then exit "
         "(reference -render-config, cmd/cflog2otel/main.go:47,61-68)",
     )
     ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
@@ -85,6 +85,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "model); drains available data (availableNow) and writes "
         "idempotent window-partition sinks under --out; requires "
         "--checkpoint-dir",
+    )
+    ap.add_argument(
+        "--stream-single-pass",
+        action="store_true",
+        help="with --stream: one streaming query whose foreachBatch "
+        "decodes/parses each micro-batch once and derives every metric "
+        "sink from the shared projection, emitting per-batch window DELTAS "
+        "keyed by _batch_id (sum per window on read — the OTLP delta "
+        "contract); the default runs one stateful windowed query per metric",
     )
     ap.add_argument(
         "--watermark",
@@ -108,6 +117,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="OTLP/HTTP body encoding for --export-otlp: proto-JSON or the "
         "binary ExportMetricsServiceRequest (application/x-protobuf — the "
         "message bytes the reference's gRPC exporter frames)",
+    )
+    ap.add_argument(
+        "--export-otlp-grpc",
+        help="export the aggregated metrics over OTLP gRPC to HOST:PORT — "
+        "the reference's native transport (app.go:243-258); requires the "
+        "grpc package (feature-gated like PIL: absent in this sandbox, "
+        "fails with a clear error pointing at --export-otlp "
+        "--otlp-encoding protobuf, which sends the identical message bytes)",
     )
     ap.add_argument("--master", default=None)
     ap.add_argument("--checkpoint-dir", help="lineage manifest dir for resumable runs")
@@ -133,8 +150,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {exc}", file=sys.stderr)
         return 2
     if args.render_config:
-        # load already validated; print the evaluated document (no Spark)
-        print(json.dumps(Config.render(args.config), indent=2))
+        # serialize the LOADED config (defaults applied — interval "1m",
+        # Histogram boundary defaults), matching the reference's marshal of
+        # the validated struct (cmd/cflog2otel/main.go:61-68); single
+        # evaluation, no Spark
+        print(json.dumps(cfg.to_json(), indent=2))
         return 0
 
     spark = get_spark(master=args.master, app_name="cflog2otel")
@@ -163,7 +183,10 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            from cflog2otel_spark.streaming.stream import run_streaming_pipeline
+            from cflog2otel_spark.streaming.stream import (
+                run_streaming_pipeline,
+                run_streaming_pipeline_single_pass,
+            )
 
             watermark = args.watermark or (
                 f"{int(cfg.backfill.time_tolerance_seconds)} seconds"
@@ -171,15 +194,22 @@ def main(argv: list[str] | None = None) -> int:
                 else "1 hour"
             )
             t0 = time.time()
-            queries = run_streaming_pipeline(
-                spark, cfg, args.input, args.out, args.checkpoint_dir,
-                watermark=watermark, trigger_once=True,
-            )
+            if args.stream_single_pass:
+                queries = run_streaming_pipeline_single_pass(
+                    spark, cfg, args.input, args.out, args.checkpoint_dir,
+                    trigger_once=True,
+                )
+            else:
+                queries = run_streaming_pipeline(
+                    spark, cfg, args.input, args.out, args.checkpoint_dir,
+                    watermark=watermark, trigger_once=True,
+                )
             for q in queries:
                 q.awaitTermination()
+            mode = "stream-single-pass" if args.stream_single_pass else "stream"
             print(
                 json.dumps({"run": {"elapsed_sec": round(time.time() - t0, 3),
-                                    "mode": "stream", "watermark": watermark}}),
+                                    "mode": mode, "watermark": watermark}}),
                 file=sys.stderr,
             )
             return 0
@@ -285,18 +315,24 @@ def main(argv: list[str] | None = None) -> int:
                 trigger_source=args.trigger_source,
                 repartition_by_source=args.repartition_by_source,
             ))
-        result = results[0]
         n_rows = None
         if args.checkpoint_dir:
             from cflog2otel_spark.lineage import write_run_manifest
 
-            n_rows = write_run_manifest(
-                spark,
-                result,
-                args.checkpoint_dir,
-                input_path=args.input,
-                elapsed_sec=time.time() - t0,
-            )
+            # one manifest per result (= per S3 record): a multi-record
+            # event must mark EVERY record's source done, or --resume would
+            # re-process record 2+ (VERDICT r3 #3). The wall time is shared
+            # across records, so per-record throughput is only recorded for
+            # the common single-record case.
+            n_rows = 0
+            for res in results:
+                n_rows += write_run_manifest(
+                    spark,
+                    res,
+                    args.checkpoint_dir,
+                    input_path=args.input,
+                    elapsed_sec=(time.time() - t0) if len(results) == 1 else None,
+                )
         if args.out:
             # one invocation per S3 record (reference exports per
             # notification); sinks get an index suffix when there are many
@@ -329,6 +365,17 @@ def main(argv: list[str] | None = None) -> int:
                     encoding=args.otlp_encoding,
                 )
             print(json.dumps({"exported": n}), file=sys.stderr)
+        if args.export_otlp_grpc:
+            from cflog2otel_spark.export import export_otlp_grpc
+            from cflog2otel_spark.golden import encode_otlp
+
+            n = 0
+            for res in results:
+                n += export_otlp_grpc(
+                    encode_otlp(res, cfg), args.export_otlp_grpc,
+                    headers=cfg.otel.get("headers") or None,
+                )
+            print(json.dumps({"exported_grpc": n}), file=sys.stderr)
         dt = time.time() - t0
         stats = {"elapsed_sec": round(dt, 3)}
         if n_rows is not None:

@@ -1,0 +1,108 @@
+"""Connected-components dedup clustering + deterministic hash splits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc_python(n_ids, edges):
+    """Driver-side union-find oracle."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_connected_components_matches_union_find(spark):
+    from cflog2otel_spark.operators.clustering import connected_components
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    ids = list(range(12))
+    # two multi-hop chains (diameter > 1), one triangle, isolated nodes
+    edges = [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (8, 9), (9, 10), (8, 10)]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    release_persisted()
+    assert got == _cc_python(ids, edges)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 15-node path graph needs multiple propagation rounds (min label
+    crosses one hop per round-ish); the loop must converge, not truncate."""
+    from cflog2otel_spark.operators.clustering import connected_components
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    got = connected_components(nodes, pairs)
+    assert got.filter(F.col("component") == 0).count() == n
+    release_persisted()
+
+
+def test_connected_components_max_iter_raises(spark):
+    from cflog2otel_spark.operators.clustering import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(nodes, pairs, max_iter=2)
+    release_persisted()
+
+
+def test_dedup_keep_flags_canonical(spark):
+    from cflog2otel_spark.operators.clustering import dedup_keep
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], ["a", "b"])
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_keep(docs, pairs).collect()}
+    release_persisted()
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (3, True),
+        4: (1, False), 5: (1, False),
+    }
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    from cflog2otel_spark.operators.clustering import hash_split
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    split = df.select(
+        "doc_id",
+        hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    # stable under corpus growth: the first n/2 ids keep their assignment
+    small = {
+        r["doc_id"]: r["split"]
+        for r in spark.range(n // 2)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}))
+        .collect()
+    }
+    big = {r["doc_id"]: r["split"] for r in split.collect() if r["doc_id"] < n // 2}
+    assert small == big

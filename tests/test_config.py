@@ -131,8 +131,10 @@ def test_switch_zero_values():
 
 
 def test_render_config_cli():
-    """--render-config parity (cmd/cflog2otel/main.go:47,61-68): evaluate
-    the jsonnet and print the JSON document Config.load consumed."""
+    """--render-config parity (cmd/cflog2otel/main.go:47,61-68): the
+    reference marshals the LOADED Config struct, i.e. with Validate's
+    defaults applied (interval '' -> '1m', Histogram boundary defaults) —
+    not the raw evaluated jsonnet (ADVICE r3)."""
     import subprocess
     import sys
 
@@ -146,6 +148,34 @@ def test_render_config_cli():
     doc = json.loads(proc.stdout)
     from cflog2otel_spark.config import Config
 
-    assert doc == Config.render("/root/reference/testdata/switch_case.jsonnet")
-    # the printed document is exactly what Config.from_json accepts
-    Config.from_json(doc)
+    assert doc == Config.load("/root/reference/testdata/switch_case.jsonnet").to_json()
+    # defaults applied: every metric renders a concrete interval
+    for m in doc["metrics"]:
+        assert m.get("interval")
+    # the printed document is exactly what Config.from_json accepts, and
+    # loading it again is a fixed point (defaults already applied)
+    assert Config.from_json(doc).to_json() == doc
+
+
+def test_render_applies_histogram_defaults():
+    from cflog2otel_spark.config import DEFAULT_BOUNDARIES, Config
+
+    cfg = Config.from_json({
+        "scope": {"name": "s"},
+        "metrics": [
+            {"name": "h", "type": "Histogram", "value": {"expr": "log.timeTaken"}},
+        ],
+    })
+    doc = cfg.to_json()
+    assert doc["metrics"][0]["boundaries"] == list(DEFAULT_BOUNDARIES)
+    assert doc["metrics"][0]["interval"] == "1m"
+    # non-histogram metrics do NOT invent boundaries (Go only mutates the
+    # Histogram path, config.go:167-170)
+    cfg2 = Config.from_json({"scope": {"name": "s"}, "metrics": [{"name": "c"}]})
+    assert "boundaries" not in cfg2.to_json()["metrics"][0]
+    # CELCapable raw forms round-trip verbatim
+    cfg3 = Config.from_json({
+        "scope": {"name": "s"},
+        "metrics": [{"name": "f", "filter": {"expr": "log.scStatus >= 500"}}],
+    })
+    assert cfg3.to_json()["metrics"][0]["filter"] == {"expr": "log.scStatus >= 500"}

@@ -152,6 +152,7 @@ def test_cli_multi_record_event_writes_per_record_sinks(spark, tmp_path):
     event_path = tmp_path / "event.json"
     event_path.write_text(json.dumps({"Records": [rec(SOURCE1), rec(SOURCE2)]}))
     out = tmp_path / "sinks"
+    ckpt = tmp_path / "ckpt"
 
     proc = subprocess.run(
         [
@@ -160,6 +161,7 @@ def test_cli_multi_record_event_writes_per_record_sinks(spark, tmp_path):
             "--input", corpus_path,
             "--s3-event", str(event_path),
             "--out", str(out),
+            "--checkpoint-dir", str(ckpt),
             "--master", "local[2]",
         ],
         cwd="/root/repo", capture_output=True, text=True, timeout=420,
@@ -169,3 +171,11 @@ def test_cli_multi_record_event_writes_per_record_sinks(spark, tmp_path):
     s1 = spark.read.parquet(str(out / "record_1" / "http.server.requests"))
     assert sum(r["value"] for r in s0.collect()) == 6  # SOURCE1's lines only
     assert sum(r["value"] for r in s1.collect()) == 6  # SOURCE2's lines only
+
+    # VERDICT r3 #3: one manifest per record — BOTH records' sources must be
+    # marked done, so a --resume run skips both (previously only record 0's
+    # manifest was written and record 1 would re-process)
+    from cflog2otel_spark.lineage import completed_sources, resume_filter
+
+    assert completed_sources(str(ckpt)) == {SOURCE1, SOURCE2}
+    assert resume_filter(spark.read.parquet(corpus_path), str(ckpt)).count() == 0

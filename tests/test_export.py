@@ -5,6 +5,8 @@ the canonical OTLP wire shape and POSTed to a collector endpoint
 import gzip
 import json
 import threading
+
+import pytest
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 from cflog2otel_spark.config import Config
@@ -323,3 +325,58 @@ def test_protobuf_roundtrip_property():
         assert _norm_tree(back) == _norm_tree(t)
 
     roundtrip()
+
+
+def test_grpc_exporter_gated_without_bindings():
+    """The OTLP gRPC path (reference app.go:243-258) is feature-gated like
+    PIL: without the grpc package it must raise a clear RuntimeError
+    pointing at the HTTP-protobuf path, never ImportError at call time."""
+    from cflog2otel_spark.export import GRPC_AVAILABLE, export_otlp_grpc
+
+    if GRPC_AVAILABLE:
+        pytest.skip("grpc installed: the gate is open on this host")
+    with pytest.raises(RuntimeError, match="grpc"):
+        export_otlp_grpc([], "localhost:4317")
+
+
+def test_grpc_exporter_live_roundtrip(spark, cf_fixture_df):
+    """With grpc installed: a generic-handler server must receive exactly
+    the encode_export_request bytes (the pinned-field-tested message)."""
+    grpc = pytest.importorskip("grpc")
+    from concurrent import futures
+
+    from cflog2otel_spark.config import Config
+    from cflog2otel_spark.export import export_otlp_grpc, to_wire
+    from cflog2otel_spark.golden import encode_otlp
+    from cflog2otel_spark.otlp_proto import encode_export_request
+    from cflog2otel_spark.pipeline import run_pipeline
+
+    cfg = Config.load("configs/request_count_by_status_category.json")
+    res = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
+    reqs = encode_otlp(res, cfg)
+    expected = [encode_export_request(to_wire(r)) for r in reqs]
+
+    received: list[bytes] = []
+
+    class Handler(grpc.GenericRpcHandler):
+        def service(self, details):
+            def unary(request, context):
+                received.append(request)
+                return b""
+
+            return grpc.unary_unary_rpc_method_handler(
+                unary,
+                request_deserializer=lambda b: b,
+                response_serializer=lambda b: b,
+            )
+
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=2))
+    server.add_generic_rpc_handlers((Handler(),))
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    try:
+        n = export_otlp_grpc(reqs, f"127.0.0.1:{port}")
+        assert n == len(reqs)
+        assert received == expected
+    finally:
+        server.stop(0)

@@ -37,6 +37,51 @@ def test_streaming_matches_batch(spark, cf_fixture_df, tmp_path):
     }
 
 
+def test_streaming_single_pass_matches_batch(spark, cf_fixture_df, tmp_path):
+    """Single-scan foreachBatch fan-out: every metric sink derives from ONE
+    decode/parse per micro-batch; summing the per-batch delta rows per
+    window must equal the batch pipeline (OTLP delta-consumer contract).
+    Run with maxFilesPerTrigger=1 over two files so windows genuinely span
+    micro-batches — the delta-rows-per-batch semantic is exercised, not
+    just the single-batch degenerate case."""
+    from cflog2otel_spark.streaming.stream import run_streaming_pipeline_single_pass
+
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    inp = str(tmp_path / "in")
+    # two parquet files -> two micro-batches at maxFilesPerTrigger=1; both
+    # carry 22:xx lines so the same hour window spans batches
+    cf_fixture_df.write.parquet(inp)
+    tokenized_df_from_lines(spark, lines2, SOURCE2).write.mode("append").parquet(inp)
+
+    cfg = Config.load(f"{CONFIGS}/request_count_by_status_category.json")
+    queries = run_streaming_pipeline_single_pass(
+        spark, cfg, inp, str(tmp_path / "out"), str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    for q in queries:
+        q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out/http.server.requests"))
+    assert out.select("_batch_id").distinct().count() >= 2  # really multi-batch
+    streamed = {
+        (str(r["window_start"]), r["k"]): r["v"]
+        for r in out.groupBy(
+            "window_start", F.col("attrs")[0]["value"].alias("k")
+        ).agg(F.sum("value").alias("v")).collect()
+    }
+
+    from cflog2otel_spark.pipeline import run_pipeline
+
+    batch = run_pipeline(
+        spark, cfg, spark.read.parquet(inp), cache="none"
+    ).sinks["http.server.requests"]
+    expected = {
+        (str(r["window_start"]), r["attrs"][0]["value"]): r["value"]
+        for r in batch.collect()
+    }
+    assert streamed == expected
+
+
 def test_lineage_manifest_and_resume(spark, tmp_path):
     from cflog2otel_spark.lineage import completed_sources, resume_filter, write_run_manifest
     from cflog2otel_spark.pipeline import run_pipeline
