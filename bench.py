@@ -98,10 +98,26 @@ def ensure_corpus(spark) -> str:
 def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
 
     def progress(msg: str) -> None:
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    # Global wall budget: under heavy host-VM load every entry stretches
+    # 3-5x and the suite would outlive the caller's timeout. Past the
+    # budget, remaining non-flagship entries are SKIPPED and listed in the
+    # output (explicit degradation, never a silent truncation or a timeout
+    # with no JSON line at all).
+    TOTAL_BUDGET_SEC = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
+    bench_start = time.time()
+    skipped: list[str] = []
+
+    def budget_left() -> bool:
+        return time.time() - bench_start < TOTAL_BUDGET_SEC
+
+    def skip(name: str) -> None:
+        skipped.append(name)
+        progress(f"{name} SKIPPED (total budget {TOTAL_BUDGET_SEC:.0f}s spent)")
 
     t0 = time.time()
     corpus_path = ensure_corpus(spark)
@@ -163,17 +179,87 @@ def main() -> None:
     # strict-mode flagship (ANSI casts + in-dataflow raise guards replace
     # try_cast/try_to_timestamp): one warm run quantifying the overhead the
     # reference's fail-the-file semantics cost vs lenient (VERDICT r3 #9)
-    sink_dir = tempfile.mkdtemp(prefix="bench_strict_")
-    t0 = time.time()
-    result = run_pipeline(spark, cfg, corpus, keep_payload=False, strict=True)
-    write_sinks(result, sink_dir)
-    timings["pipeline_strict"] = round(time.time() - t0, 3)
-    result.unpersist()
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    progress(
-        f"pipeline_strict {timings['pipeline_strict']}s "
-        f"({timings['pipeline_strict'] / flag:.2f}x lenient median)"
+    if budget_left():
+        sink_dir = tempfile.mkdtemp(prefix="bench_strict_")
+        t0 = time.time()
+        result = run_pipeline(spark, cfg, corpus, keep_payload=False, strict=True)
+        write_sinks(result, sink_dir)
+        timings["pipeline_strict"] = round(time.time() - t0, 3)
+        result.unpersist()
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        progress(
+            f"pipeline_strict {timings['pipeline_strict']}s "
+            f"({timings['pipeline_strict'] / flag:.2f}x lenient median)"
+        )
+    else:
+        skip("pipeline_strict")
+
+    # driver-table queries (same entries the correctness gate runs)
+    from cflog2otel_spark.plans.driver_queries import QUERIES
+
+    for name in [
+        "cf_count_by_status",
+        "cf_histogram",
+        "cf_sum_bytes",
+        "events_sum_cents",
+        "docs_token_stats",
+        "docs_fingerprint",
+        "emb_topk",
+        "docs_exact_dedup",
+        "emb_ann_topk",   # persisted-_sig probe (index built on first run)
+        "emb_ivf_topk",   # partition-pruned IVF probe
+        "docs_gopher",        # quality-filter rule evaluation, pure codegen
+        "docs_contamination", # broadcast benchmark-gram decontamination join
+        "docs_dedup_clusters",  # LSH pairs -> connected components -> keep
+    ]:
+        if not budget_left():
+            skip(name)
+            continue
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        progress(f"{name} {timings[name]}s")
+
+    # near-dup / LSH ops over documents
+    from cflog2otel_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_persisted,
+        simhash_near_dup_pairs,
     )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if budget_left():
+        t0 = time.time()
+        minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
+        timings["docs_minhash_lsh"] = round(time.time() - t0, 3)
+        progress(f"docs_minhash_lsh {timings['docs_minhash_lsh']}s")
+    else:
+        skip("docs_minhash_lsh")
+
+    if budget_left():
+        t0 = time.time()
+        simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
+        timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
+        progress(f"docs_simhash_neardup {timings['docs_simhash_neardup']}s")
+    else:
+        skip("docs_simhash_neardup")
+
+    # embedding near-dup at the production threshold (0.95 -> ~17 bands);
+    # log_stats prints the skew cap's candidate-volume numbers to stderr
+    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if budget_left():
+        t0 = time.time()
+        embedding_near_dup_pairs(emb, threshold=0.95, log_stats=True).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["emb_near_dup_strict"] = round(time.time() - t0, 3)
+        progress(f"emb_near_dup_strict {timings['emb_near_dup_strict']}s")
+    else:
+        skip("emb_near_dup_strict")
 
     # streaming flagship (T1-T5 were fixture-tested only, VERDICT r3 #8):
     # availableNow drain of the same corpus. Two variants: the single-pass
@@ -192,6 +278,9 @@ def main() -> None:
             spark, cfg, corpus_path, o, c, watermark="1 hour",
             trigger_once=True)),
     ]:
+        if not budget_left():
+            skip(label)
+            continue
         stream_out = tempfile.mkdtemp(prefix="bench_stream_out_")
         stream_ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
         t0 = time.time()
@@ -205,60 +294,6 @@ def main() -> None:
             f"({timings[label] / flag:.2f}x batch median)"
         )
 
-    # driver-table queries (same entries the correctness gate runs)
-    from cflog2otel_spark.plans.driver_queries import QUERIES
-
-    for name in [
-        "cf_count_by_status",
-        "cf_histogram",
-        "cf_sum_bytes",
-        "events_sum_cents",
-        "docs_token_stats",
-        "docs_fingerprint",
-        "emb_topk",
-        "docs_exact_dedup",
-        "emb_ann_topk",   # persisted-_sig probe (index built on first run)
-        "emb_ivf_topk",   # partition-pruned IVF probe
-        "docs_gopher",        # quality-filter rule evaluation, pure codegen
-        "docs_contamination", # broadcast benchmark-gram decontamination join
-    ]:
-        fn = QUERIES[name][0]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        progress(f"{name} {timings[name]}s")
-
-    # near-dup / LSH ops over documents
-    from cflog2otel_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        release_persisted,
-        simhash_near_dup_pairs,
-    )
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
-    timings["docs_minhash_lsh"] = round(time.time() - t0, 3)
-    progress(f"docs_minhash_lsh {timings['docs_minhash_lsh']}s")
-
-    t0 = time.time()
-    simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
-    timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
-    progress(f"docs_simhash_neardup {timings['docs_simhash_neardup']}s")
-
-    # embedding near-dup at the production threshold (0.95 -> ~17 bands);
-    # log_stats prints the skew cap's candidate-volume numbers to stderr
-    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
-
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.time()
-    embedding_near_dup_pairs(emb, threshold=0.95, log_stats=True).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["emb_near_dup_strict"] = round(time.time() - t0, 3)
-    progress(f"emb_near_dup_strict {timings['emb_near_dup_strict']}s")
-
     # drop the LSH signature/entry caches these ops persisted (ADVICE r2)
     # and the shared parsed-events persist (VERDICT r3 #6) — symmetric
     # release so a long-lived session holds no stale storage blocks
@@ -270,6 +305,8 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    if skipped:
+        extras["skipped_over_budget"] = skipped
     print(
         json.dumps(
             {

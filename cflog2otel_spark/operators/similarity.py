@@ -557,6 +557,42 @@ def _band_buckets_arrow(planes: list[list[float]], bits_per_band: int):
     return buckets
 
 
+def _band_plan(
+    threshold: float,
+    miss_prob: float,
+    max_total_bits: int,
+    n_rows: int | None,
+    fixed_r: int | None = None,
+) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for the banded-LSH near-dup — the sizing
+    rules documented on embedding_near_dup_pairs, factored out so tests can
+    assert the plan without running a job."""
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # threshold >= 1.0 (exact-dup request) gives p_bit == 1.0, which the
+    # log-based sizing divides by log(1.0) — clamp so it degrades to the
+    # widest banding instead of ZeroDivisionError (ADVICE r3)
+    p_bit = min(p_bit, 1.0 - 1e-9)
+
+    def bands_for(r: int) -> int:
+        return max(8, math.ceil(math.log(miss_prob) / math.log(1.0 - p_bit**r)))
+
+    if fixed_r is not None:
+        return fixed_r, bands_for(fixed_r)
+    # threshold axis: largest r keeping per-band true-pair collision >= 0.3
+    # (capped at 63: the near-1.0-threshold limit would otherwise start the
+    # back-off loop at ~1e9), then back off until r*b fits max_total_bits
+    r = max(2, min(63, math.floor(math.log(0.3) / math.log(p_bit))))
+    while r > 2 and r * bands_for(r) > max_total_bits:
+        r -= 1
+    # corpus-size axis (docstring #2): floor r at log2(n)+2 so a worst-case
+    # near-orthogonal corpus keeps per-band random collisions ~4/n; this
+    # floor deliberately ignores max_total_bits (planes live in the Arrow
+    # UDF, not as codegen literals)
+    if n_rows is not None and n_rows > 4:
+        r = max(r, min(63, math.ceil(math.log2(n_rows)) + 2))
+    return r, bands_for(r)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -570,6 +606,7 @@ def embedding_near_dup_pairs(
     log_stats: bool = False,
     miss_prob: float = 1e-12,
     max_total_bits: int = 384,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
@@ -578,15 +615,34 @@ def embedding_near_dup_pairs(
     the miss probability is (1-p^r)^b — n_bands defaults to the smallest b
     that puts it below `miss_prob` at the threshold angle (1e-12 =
     deterministic-grade recall, required by the exact all-pairs contract
-    oracle; a production run can pass 1e-3 for ~10x fewer bands).
+    oracle; a production run should pass 1e-3 for ~4x fewer bands).
 
-    r (bits_per_band) defaults ADAPTIVELY: the largest r with p^r >= 0.3,
-    capped so r*b <= max_total_bits. Fixed r=2 collapses at high
-    thresholds — at 0.95, p=0.899, r=2 gives band-collision 0.25 for a
-    RANDOM pair, so 17 OR-ed bands admit ~99% of all pairs as candidates
-    (measured: 8.5M verify pairs from 20k vectors). Adaptive r=7/43 bands
-    admits ~3.5% instead, same 1e-12 recall. At threshold 0.4 the rule
-    picks r=2 — the recall-stress gate's banding is unchanged.
+    r (bits_per_band) defaults ADAPTIVELY along two axes:
+
+    1. threshold: the largest r with p^r >= 0.3, capped so r*b <=
+       max_total_bits. Fixed r=2 collapses at high thresholds — at 0.95,
+       p=0.899, r=2 gives band-collision 0.25 for a RANDOM pair, so 17
+       OR-ed bands admit ~99% of all pairs as candidates (measured: 8.5M
+       verify pairs from 20k vectors). Adaptive r=7/43 bands admits ~3.5%
+       instead, same 1e-12 recall. At threshold 0.4 the rule picks r=2.
+
+    2. corpus size, when `n_rows` is passed: r is floored at
+       ceil(log2(n)) + 2 — the classic LSH r ~ log n rule. Without it a
+       near-orthogonal (worst-case) corpus of n=200k at r=7 has only 128
+       buckets per band, so every bucket holds ~n/128 vectors and the
+       candidate set is O(n^2/128) per band (measured: 11 BILLION candidate
+       pairs from 200k isotropic vectors — a non-starter). r=log2(n)+2
+       makes a random pair's per-band collision ~4/n, so total candidates
+       stay O(b*n). The band count then grows to keep `miss_prob`
+       (p^r shrinks with r) — at 200k/0.95/1e-3 that is ~58 bands x 20
+       bits: wider hashing (one Arrow matmul column per bit — cheap), in
+       exchange for ~1000x fewer candidate pairs. `max_total_bits` does NOT
+       cap the n-aware floor: the planes live inside the Arrow UDF, not as
+       codegen literals, so the old expression-budget rationale doesn't
+       apply to this axis.
+
+    The contract gates run at small n without `n_rows` — their 43x7 banding
+    and oracle equality are unchanged.
 
     Candidates are id-only equi-joins on (band, bucket); vectors join back
     only for the exact-cosine verify of the deduped pair set, so the band
@@ -605,26 +661,17 @@ def embedding_near_dup_pairs(
 
     from .dedup import _drop_over_cap_buckets, _log_cap_stats, _track_persist
 
-    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    # threshold >= 1.0 (exact-dup request) gives p_bit == 1.0, which the
-    # log-based sizing below divides by log(1.0) — clamp so it degrades to
-    # the widest banding instead of ZeroDivisionError (ADVICE r3)
-    p_bit = min(p_bit, 1.0 - 1e-9)
-
-    def bands_for(r: int) -> int:
-        return max(8, math.ceil(math.log(miss_prob) / math.log(1.0 - p_bit**r)))
-
+    auto_r, auto_b = _band_plan(threshold, miss_prob, max_total_bits, n_rows)
     if bits_per_band is None:
-        # largest r keeping per-band true-pair collision >= 0.3 (capped at
-        # 63: the near-1.0-threshold limit would otherwise start the
-        # back-off loop at ~1e9), then back off until the total hyperplane
-        # count fits the expression budget (each plane is a dim-wide
-        # literal array in the codegen'd plan)
-        bits_per_band = max(2, min(63, math.floor(math.log(0.3) / math.log(p_bit))))
-        while bits_per_band > 2 and bits_per_band * bands_for(bits_per_band) > max_total_bits:
-            bits_per_band -= 1
+        bits_per_band = auto_r
     if n_bands is None:
-        n_bands = bands_for(bits_per_band)
+        n_bands = (
+            auto_b
+            if bits_per_band == auto_r
+            else _band_plan(
+                threshold, miss_prob, max_total_bits, None, fixed_r=bits_per_band
+            )[1]
+        )
 
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)

@@ -491,3 +491,52 @@ def test_fingerprint_detects_content_change(spark, tmp_path):
     n_before = len(_FP_CACHE)
     lsh_index(df2, path, n_bits=4)
     assert len(_FP_CACHE) == n_before
+
+
+def test_band_plan_sizing_rules():
+    """Band sizing: threshold axis reproduces the audited 43x7 at 0.95 and
+    55x2 at 0.4 (gate banding unchanged); the n-aware floor kicks in only
+    when n_rows is passed and follows r = log2(n)+2 (without it a 200k
+    near-orthogonal corpus measured 11e9 candidate pairs)."""
+    from cflog2otel_spark.operators.similarity import _band_plan
+
+    assert _band_plan(0.95, 1e-12, 384, None) == (7, 43)
+    r04, b04 = _band_plan(0.4, 1e-12, 384, None)
+    assert r04 == 2
+    # n-aware floor: r = ceil(log2(n)) + 2, bands re-sized for recall
+    assert _band_plan(0.95, 1e-12, 384, 500) == (11, 75)
+    assert _band_plan(0.95, 1e-12, 384, 100) == (9, 58)
+    # large corpus: r = ceil(log2(200k)) + 2 = 20, bands grow to keep recall
+    r, b = _band_plan(0.95, 1e-3, 384, 200_000)
+    assert r == 20
+    assert b * (0.5 ** r) * 200_000 < 15  # expected random collisions per row
+    # fixed_r path: bands still sized from miss_prob
+    assert _band_plan(0.95, 1e-12, 384, None, fixed_r=2)[0] == 2
+    # threshold >= 1 degrades, never raises
+    r1, b1 = _band_plan(1.0, 1e-12, 384, None)
+    assert 2 <= r1 <= 63 and b1 >= 8
+
+
+def test_near_dup_n_aware_recall(spark):
+    """End-to-end with the n-aware floor active: an isotropic corpus with a
+    planted near-dup pair must still recall it at the production profile
+    (n_rows passed, miss_prob 1e-3)."""
+    import numpy as np
+
+    from cflog2otel_spark.operators.dedup import release_persisted
+    from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16))
+    scale = np.where(np.arange(16) % 2 == 0, 1.05, 0.95)
+    vecs[299] = vecs[3] * scale  # cos ~0.9987
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, n_rows=300, miss_prob=1e-3
+        ).collect()
+    }
+    release_persisted()
+    assert (3, 299) in pairs
