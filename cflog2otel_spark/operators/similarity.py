@@ -563,6 +563,7 @@ def _band_plan(
     max_total_bits: int,
     n_rows: int | None,
     fixed_r: int | None = None,
+    max_bands: int = 512,
 ) -> tuple[int, int]:
     """(bits_per_band, n_bands) for the banded-LSH near-dup — the sizing
     rules documented on embedding_near_dup_pairs, factored out so tests can
@@ -581,15 +582,24 @@ def _band_plan(
     # threshold axis: largest r keeping per-band true-pair collision >= 0.3
     # (capped at 63: the near-1.0-threshold limit would otherwise start the
     # back-off loop at ~1e9), then back off until r*b fits max_total_bits
-    r = max(2, min(63, math.floor(math.log(0.3) / math.log(p_bit))))
-    while r > 2 and r * bands_for(r) > max_total_bits:
-        r -= 1
+    base_r = max(2, min(63, math.floor(math.log(0.3) / math.log(p_bit))))
+    while base_r > 2 and base_r * bands_for(base_r) > max_total_bits:
+        base_r -= 1
+    r = base_r
     # corpus-size axis (docstring #2): floor r at log2(n)+2 so a worst-case
     # near-orthogonal corpus keeps per-band random collisions ~4/n; this
     # floor deliberately ignores max_total_bits (planes live in the Arrow
-    # UDF, not as codegen literals)
+    # UDF, not as codegen literals). It IS bounded by max_bands: at a LOW
+    # threshold p_bit^r collapses as r grows, and holding miss_prob would
+    # demand an absurd band count (0.4 / 1e-12 / n=200k -> 273k bands);
+    # back r off toward the threshold rule until the band count is sane —
+    # low threshold + huge n + deterministic recall is inherently a
+    # near-all-pairs problem, and the bucket-width goal is the right thing
+    # to sacrifice first because the verify stage still bounds correctness.
     if n_rows is not None and n_rows > 4:
         r = max(r, min(63, math.ceil(math.log2(n_rows)) + 2))
+        while r > base_r and bands_for(r) > max_bands:
+            r -= 1
     return r, bands_for(r)
 
 
@@ -607,6 +617,7 @@ def embedding_near_dup_pairs(
     miss_prob: float = 1e-12,
     max_total_bits: int = 384,
     n_rows: int | None = None,
+    max_bands: int = 512,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
@@ -661,7 +672,9 @@ def embedding_near_dup_pairs(
 
     from .dedup import _drop_over_cap_buckets, _log_cap_stats, _track_persist
 
-    auto_r, auto_b = _band_plan(threshold, miss_prob, max_total_bits, n_rows)
+    auto_r, auto_b = _band_plan(
+        threshold, miss_prob, max_total_bits, n_rows, max_bands=max_bands
+    )
     if bits_per_band is None:
         bits_per_band = auto_r
     if n_bands is None:

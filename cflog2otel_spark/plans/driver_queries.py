@@ -850,17 +850,7 @@ _STRICT_PLANT_K = 8
 _STRICT_PLANT_BASE = 10_000_000
 
 
-def q_emb_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-shaped near-dup job: the operator's default 0.95
-    threshold auto-sizes to ~43 bands x 7 bits — the plan a production
-    dedup run uses. The 0.4-threshold `emb_near_dup` gate above is a
-    recall-stress test only (VERDICT r2 #5): at 0.4 the band count and the
-    qualifying-pair volume are a different workload class. The corpus is
-    augmented with planted >= 0.95 pairs (see _STRICT_PLANT_K above) so the
-    exact all-pairs oracle verifies RECALL at the production banding, not
-    just no-false-positives."""
-    from ..operators.similarity import embedding_near_dup_pairs
-
+def _emb_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select(
         "vec_id",
@@ -873,7 +863,34 @@ def q_emb_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CASE WHEN i % 2 = 0 THEN 1.15D ELSE 0.85D END))"
         ).alias("embedding"),
     )
-    return embedding_near_dup_pairs(base.unionByName(planted), threshold=0.95)
+    return base.unionByName(planted)
+
+
+def q_emb_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped near-dup job: the operator's default 0.95
+    threshold auto-sizes to ~43 bands x 7 bits — the plan a production
+    dedup run uses. The 0.4-threshold `emb_near_dup` gate above is a
+    recall-stress test only (VERDICT r2 #5): at 0.4 the band count and the
+    qualifying-pair volume are a different workload class. The corpus is
+    augmented with planted >= 0.95 pairs (see _STRICT_PLANT_K above) so the
+    exact all-pairs oracle verifies RECALL at the production banding, not
+    just no-false-positives."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb_with_plants(spark, sf_dir), threshold=0.95)
+
+
+def q_emb_near_dup_nware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-aware banding path under the hash gate: same planted corpus
+    and threshold as `emb_near_dup_strict`, but with `n_rows` passed so
+    bits_per_band is floored at log2(n)+2 (the rule that cut a 200k-vector
+    candidate bound from 11e9 to 3.2e6 pairs, BENCH.md). Identical exact
+    all-pairs oracle — the wider banding must produce the identical pair
+    set."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb_with_plants(spark, sf_dir)
+    return embedding_near_dup_pairs(emb, threshold=0.95, n_rows=emb.count())
 
 
 def o_emb_near_dup_strict() -> str:
@@ -1404,6 +1421,7 @@ QUERIES = {
     "emb_topk": (q_emb_topk, o_emb_topk),
     "emb_near_dup": (q_emb_near_dup, o_emb_near_dup),
     "emb_near_dup_strict": (q_emb_near_dup_strict, o_emb_near_dup_strict),
+    "emb_near_dup_nware": (q_emb_near_dup_nware, o_emb_near_dup_strict),
     "docs_dedup_clusters": (q_docs_dedup_clusters, o_docs_dedup_clusters),
     "docs_split": (q_docs_split, o_docs_split),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),

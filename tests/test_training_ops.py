@@ -512,6 +512,10 @@ def test_band_plan_sizing_rules():
     assert b * (0.5 ** r) * 200_000 < 15  # expected random collisions per row
     # fixed_r path: bands still sized from miss_prob
     assert _band_plan(0.95, 1e-12, 384, None, fixed_r=2)[0] == 2
+    # low threshold + huge n + deterministic recall would demand ~273k
+    # bands; max_bands backs r off toward the threshold rule instead
+    r_low, b_low = _band_plan(0.4, 1e-12, 384, 200_000)
+    assert b_low <= 512 and 2 <= r_low
     # threshold >= 1 degrades, never raises
     r1, b1 = _band_plan(1.0, 1e-12, 384, None)
     assert 2 <= r1 <= 63 and b1 >= 8
