@@ -105,3 +105,43 @@ def test_registered_similarity_queries_are_scale_shaped(spark):
     # the hamming predicate must reference the scanned column
     assert "_sig" in plan
     assert ann.count() == 20
+
+
+def test_round4_queries_are_scale_shaped(spark):
+    """Round-4 registrations keep the same discipline: no cross joins, no
+    windows, no per-row Python in the new query plans."""
+    from cflog2otel_spark.operators.dedup import release_persisted
+    from cflog2otel_spark.plans.driver_queries import (
+        q_docs_dedup_clusters,
+        q_docs_split,
+        q_emb_near_dup_nware,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    split = q_docs_split(spark, sf)
+    plan = _plan(split)
+    # pure per-row arithmetic: a project over the scan, no exchange at all
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    clusters = q_docs_dedup_clusters(spark, sf)
+    plan = _plan(clusters)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # one row per document, keepers are a subset
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    rows = clusters.collect()
+    assert len(rows) == n_docs
+    keep = [r for r in rows if r["keep"]]
+    assert 0 < len(keep) <= n_docs
+    # cluster ids are canonical members (every cluster_id is a kept doc_id)
+    kept_ids = {r["doc_id"] for r in keep}
+    assert {r["cluster_id"] for r in rows} <= kept_ids
+
+    nware = q_emb_near_dup_nware(spark, sf)
+    plan = _plan(nware)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_persisted()
