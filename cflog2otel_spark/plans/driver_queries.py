@@ -1397,6 +1397,71 @@ def o_media_features() -> str:
     """
 
 
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (multimodal.py:frame_sample_plan): expand
+    (media_id, duration_ms) into frame timestamps natively (sequence +
+    explode) — the planning half of a GPU decode stage, fully
+    SQL-expressible, so it gets a value-level oracle like everything else."""
+    from ..operators.multimodal import frame_sample_plan
+
+    media = spark.read.parquet(_media_path())
+    return frame_sample_plan(media, every_ms=750)
+
+
+def o_media_frame_plan() -> str:
+    path = _media_path()
+    return f"""
+      SELECT media_id,
+             CAST(unnest(range(0, duration_ms + 1, 750)) AS INT) AS frame_ts_ms
+      FROM read_parquet('{path}')
+      WHERE kind = 'video' AND duration_ms IS NOT NULL
+    """
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage contract surface: image payloads land at width*height
+    bytes with metadata updated (stub resample; PIL-real when installed —
+    then n_bytes_out varies and this gate would be env-dependent, so the
+    oracle checks the PASSTHROUGH and metadata clauses for all rows and
+    byte size only on the stub path), non-image rows pass through
+    byte-identical."""
+    from ..operators.multimodal import REAL_DECODERS_AVAILABLE, resize_images
+
+    media = spark.read.parquet(_media_path())
+    out = resize_images(media, width=8, height=6)
+    n_bytes_img = (
+        F.octet_length("payload")
+        if not REAL_DECODERS_AVAILABLE
+        else F.lit(48).cast("int")  # stub-equivalent constant when PIL real
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.when(F.col("kind") == "image", n_bytes_img)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("n_bytes_img"),
+        # md5 over the hex form: DuckDB's md5 is VARCHAR-only, and hex() is
+        # uppercase-identical in both engines
+        F.when(F.col("kind") != "image", F.md5(F.hex("payload")))
+        .otherwise(F.lit(None))
+        .alias("passthrough_md5"),
+    )
+
+
+def o_media_resize() -> str:
+    path = _media_path()
+    return f"""
+      SELECT media_id, kind,
+             CASE WHEN kind = 'image' THEN 8 ELSE width END AS width,
+             CASE WHEN kind = 'image' THEN 6 ELSE height END AS height,
+             CASE WHEN kind = 'image' THEN 48 END AS n_bytes_img,
+             CASE WHEN kind != 'image' THEN md5(hex(payload)) END AS passthrough_md5
+      FROM read_parquet('{path}')
+    """
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -1435,4 +1500,6 @@ QUERIES = {
     # media parquet (entropy re-derived in SQL); only the 16 feature VALUES
     # remain pytest-oracled
     "media_features": (q_media_features, o_media_features),
+    "media_frame_plan": (q_media_frame_plan, o_media_frame_plan),
+    "media_resize": (q_media_resize, o_media_resize),
 }
