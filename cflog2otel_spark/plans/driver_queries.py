@@ -1397,6 +1397,77 @@ def o_media_features() -> str:
     """
 
 
+def q_docs_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus materialization a data pipeline
+    actually ships, composed from the already-gated pieces: Gopher quality
+    filter AND near-dup cluster canonical AND deterministic split — one
+    row per SURVIVING document with its cluster id and split. The oracle
+    recomposes the same three sub-oracles (gopher CTE, recursive-CTE
+    components, hash-split CASE), so the COMPOSITION is verified, not just
+    the parts. Canonical selection is by min doc id, not quality (a
+    cluster whose canonical fails quality drops entirely) — both engines
+    implement exactly that rule.
+
+    The quality clause uses the four Gopher rules the synthetic corpus
+    discriminates on (word count / mean word length / symbol ratio / alpha
+    fraction — 277 of 500 docs pass); the stopword-presence rule is
+    excluded HERE because the generated text contains no English stop
+    words at all, which would make this a 0==0 vacuous gate (the full
+    five-rule vector stays value-checked per document by `docs_gopher`)."""
+    from ..operators.clustering import dedup_keep, hash_split
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.text import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = gopher_quality(docs).filter(
+        "word_count_ok AND mean_word_ok AND symbol_ok AND alpha_ok"
+    ).select("doc_id")
+    pairs = minhash_lsh_pairs(docs, engine_stable=True).select("a", "b")
+    dk = dedup_keep(docs, pairs).withColumnRenamed("keep", "dedup_keep")
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(dk, "doc_id")
+        .filter("dedup_keep")
+        .select(
+            "doc_id",
+            "cluster_id",
+            hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+    )
+
+
+def o_docs_corpus_final() -> str:
+    return f"""
+      WITH RECURSIVE g AS ({o_docs_gopher()}),
+      cand AS ({o_docs_minhash_pairs()}),
+      edges AS (
+        SELECT a AS u, b AS v FROM cand
+        UNION
+        SELECT b AS u, a AS v FROM cand
+      ),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      ),
+      comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+      ),
+      sp AS ({o_docs_split()})
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             sp.split
+      FROM documents d
+      JOIN g ON g.doc_id = d.doc_id
+        AND g.word_count_ok AND g.mean_word_ok AND g.symbol_ok AND g.alpha_ok
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      JOIN sp ON sp.doc_id = d.doc_id
+      WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+    """
+
+
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling PLAN (multimodal.py:frame_sample_plan): expand
     (media_id, duration_ms) into frame timestamps natively (sequence +
@@ -1489,6 +1560,7 @@ QUERIES = {
     "emb_near_dup_nware": (q_emb_near_dup_nware, o_emb_near_dup_strict),
     "docs_dedup_clusters": (q_docs_dedup_clusters, o_docs_dedup_clusters),
     "docs_split": (q_docs_split, o_docs_split),
+    "docs_corpus_final": (q_docs_corpus_final, o_docs_corpus_final),
     "docs_minhash_pairs": (q_docs_minhash_pairs, o_docs_minhash_pairs),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, o_docs_ngram_jaccard),
     "docs_simhash_neardup": (q_docs_simhash_neardup, o_docs_simhash_neardup),
