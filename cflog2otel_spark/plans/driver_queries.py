@@ -521,6 +521,53 @@ def o_events_sum_cents() -> str:
     """
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) rolled up to per-
+    (user, session) stats — one shuffle on the user key, lag + running-sum
+    inside the window, no self-joins. The oracle replays the identical
+    window arithmetic in DuckDB."""
+    from ..operators.sessionize import session_stats
+
+    ev = events_df(spark, sf_dir)
+    return session_stats(ev).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("duration_sec").cast("bigint").alias("duration_sec"),
+    )
+
+
+def o_events_sessions() -> str:
+    return """
+      WITH e AS (
+        SELECT user_id, event_id,
+               epoch(date_trunc('second', ts)) AS t
+        FROM events
+      ),
+      flagged AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      ),
+      numbered AS (
+        SELECT user_id, t,
+               sum(is_start) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) - 1 AS session_idx
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             CAST(max(t) - min(t) AS BIGINT) AS duration_sec
+      FROM numbered
+      GROUP BY user_id, session_idx
+    """
+
+
 # ------------------------------------------------ documents / embeddings ---
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,6 +1593,7 @@ QUERIES = {
     "cf_salted_agg": (q_cf_salted_agg, o_cf_salted_agg),
     "cf_backfill_gate": (q_cf_backfill_gate, o_cf_backfill_gate),
     "events_sum_cents": (q_events_sum_cents, o_events_sum_cents),
+    "events_sessions": (q_events_sessions, o_events_sessions),
     "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
     "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),

@@ -106,3 +106,42 @@ def test_hash_split_deterministic_and_proportioned(spark):
     }
     big = {r["doc_id"]: r["split"] for r in split.collect() if r["doc_id"] < n // 2}
     assert small == big
+
+
+def test_sessionize_gap_rule(spark):
+    """Known timeline: gaps > 30min split sessions; same-second events
+    stay ordered by the tiebreak; duration is last-first within session."""
+    from datetime import datetime
+
+    from cflog2otel_spark.operators.sessionize import session_stats, sessionize
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        # user 1: two sessions (45-min gap between idx 2 and 3)
+        (1, 0, T(0)), (1, 1, T(10)), (1, 2, T(12)),
+        (1, 3, T(57)), (1, 4, T(59)),
+        # user 2: one event = one session
+        (2, 5, T(30)),
+        # user 3: boundary cases — exactly 30min gap does NOT split,
+        # 30min+1s does
+        (3, 6, T(0)), (3, 7, T(30)), (3, 8, datetime(2024, 1, 1, 11, 0, 1)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    sess = {
+        (r["user_id"], r["event_id"]): r["session_idx"]
+        for r in sessionize(ev).collect()
+    }
+    assert sess == {
+        (1, 0): 0, (1, 1): 0, (1, 2): 0, (1, 3): 1, (1, 4): 1,
+        (2, 5): 0,
+        (3, 6): 0, (3, 7): 0, (3, 8): 1,
+    }
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(ev).collect()
+    }
+    assert stats[(1, 0)] == (3, 720)
+    assert stats[(1, 1)] == (2, 120)
+    assert stats[(2, 0)] == (1, 0)
+    assert stats[(3, 0)] == (2, 1800)
+    assert stats[(3, 1)] == (1, 0)
