@@ -568,6 +568,99 @@ def o_events_sessions() -> str:
     """
 
 
+def q_events_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hour window — the DAU/HAU primitive. At
+    100 TB the same plan swaps count_distinct for approx_count_distinct
+    (HLL, one pass, mergeable); the exact form is the oracle-checkable
+    contract and the plan shape (partial HLL merge vs expand-distinct) is
+    the only difference."""
+    ev = events_df(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("unique_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "unique_users", "n_events")
+    )
+
+
+def o_events_unique_users() -> str:
+    return """
+      SELECT date_trunc('hour', ts) AS window_start,
+             count(DISTINCT user_id) AS unique_users,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    """
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel: per (user, session), did a 'view' happen and
+    was it followed (>= same second) by a 'purchase'? One row per user
+    with session/conversion counts — sessionization composed with ordered
+    min-timestamp-per-step arithmetic, all inside the same user-key
+    window shuffle."""
+    from ..operators.sessionize import sessionize
+
+    ev = events_df(spark, sf_dir)
+    sess = sessionize(ev)
+    t = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", t)).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_view").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_view"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(converted.cast("long")).alias("n_converted"),
+        )
+    )
+
+
+def o_events_funnel() -> str:
+    return """
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch(date_trunc('second', ts)) AS t
+        FROM events
+      ),
+      flagged AS (
+        SELECT user_id, event_id, event_type, t,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      ),
+      numbered AS (
+        SELECT user_id, event_type, t,
+               sum(is_start) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) - 1 AS session_idx
+        FROM flagged
+      ),
+      per_session AS (
+        SELECT user_id, session_idx,
+               min(CASE WHEN event_type = 'view' THEN t END) AS first_view,
+               max(CASE WHEN event_type = 'purchase' THEN t END) AS last_purchase
+        FROM numbered GROUP BY 1, 2
+      )
+      SELECT user_id,
+             count(*) AS n_sessions,
+             CAST(sum(CASE WHEN first_view IS NOT NULL
+                            AND last_purchase IS NOT NULL
+                            AND last_purchase >= first_view
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      FROM per_session GROUP BY user_id
+    """
+
+
 # ------------------------------------------------ documents / embeddings ---
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,6 +1687,8 @@ QUERIES = {
     "cf_backfill_gate": (q_cf_backfill_gate, o_cf_backfill_gate),
     "events_sum_cents": (q_events_sum_cents, o_events_sum_cents),
     "events_sessions": (q_events_sessions, o_events_sessions),
+    "events_unique_users": (q_events_unique_users, o_events_unique_users),
+    "events_funnel": (q_events_funnel, o_events_funnel),
     "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
     "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
