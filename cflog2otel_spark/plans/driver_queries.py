@@ -661,6 +661,87 @@ def o_events_funnel() -> str:
     """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day D, how many are
+    also active on D+1. (day, user) distinct pairs self-joined on user at
+    day+1 — the self-join is on the SMALL deduped daily-actives relation,
+    never the raw events."""
+    ev = events_df(spark, sf_dir)
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    nxt = daily.select(
+        F.date_sub(F.col("day"), 1).alias("day"), F.col("user_id").alias("u2")
+    )
+    return (
+        daily.join(
+            nxt, (daily["day"] == nxt["day"]) & (daily["user_id"] == nxt["u2"]), "left"
+        )
+        .groupBy(daily["day"])
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.col("u2").isNotNull().cast("long")).alias("retained_next_day"),
+        )
+    )
+
+
+def o_events_retention() -> str:
+    return """
+      WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+      SELECT d.day,
+             count(*) AS active_users,
+             CAST(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained_next_day
+      FROM daily d
+      LEFT JOIN daily n
+        ON n.user_id = d.user_id AND n.day = d.day + INTERVAL 1 DAY
+      GROUP BY d.day
+    """
+
+
+def q_cf_top_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 URI stems per hour by request count, through the FULL parse
+    pipeline (shared _parsed cache) — the reporting query every log
+    pipeline serves. Rank ties break on the stem so the result is
+    deterministic."""
+    from pyspark.sql import Window
+
+    parsed = _parsed(spark, sf_dir)
+    hourly = (
+        parsed.filter(F.col("timestamp").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", "timestamp").alias("window_start"),
+            F.col("cs_uri_stem").alias("uri"),
+        )
+        .agg(F.count(F.lit(1)).alias("requests"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("requests"), F.col("uri")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "uri", "requests", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def o_cf_top_uris() -> str:
+    return f"""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               {_URI_SQL} AS uri,
+               count(*) AS requests
+        FROM events GROUP BY 1, 2
+      )
+      SELECT window_start, uri, requests, CAST(rank AS INTEGER) AS rank
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY window_start ORDER BY requests DESC, uri
+        ) AS rank
+        FROM hourly
+      )
+      WHERE rank <= 3
+    """
+
+
 # ------------------------------------------------ documents / embeddings ---
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,6 +1770,8 @@ QUERIES = {
     "events_sessions": (q_events_sessions, o_events_sessions),
     "events_unique_users": (q_events_unique_users, o_events_unique_users),
     "events_funnel": (q_events_funnel, o_events_funnel),
+    "events_retention": (q_events_retention, o_events_retention),
+    "cf_top_uris": (q_cf_top_uris, o_cf_top_uris),
     "docs_exact_dedup": (q_docs_exact_dedup, o_docs_exact_dedup),
     "docs_token_stats": (q_docs_token_stats, o_docs_token_stats),
     "docs_fingerprint": (q_docs_fingerprint, o_docs_fingerprint),
