@@ -145,3 +145,82 @@ def test_sessionize_gap_rule(spark):
     assert stats[(2, 0)] == (1, 0)
     assert stats[(3, 0)] == (2, 1800)
     assert stats[(3, 1)] == (1, 0)
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Randomized graphs vs a driver-side union-find: 5 seeds, mixed
+    density — the iterative min-label propagation must agree exactly."""
+    import random
+
+    from cflog2otel_spark.operators.clustering import connected_components
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        m = rng.randint(0, n * 2)
+        ids = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        pairs = (
+            spark.createDataFrame(edges, ["a", "b"])
+            if edges
+            else spark.createDataFrame([], "a long, b long")
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(nodes, pairs, max_iter=50).collect()
+        }
+        release_persisted()
+        assert got == _cc_python(ids, edges), f"seed {seed}"
+
+
+def test_sessionize_random_streams_property(spark):
+    """Random event streams vs a pure-python sessionizer: same sessions,
+    same per-session stats, for several seeds (incl. same-second ties)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from cflog2otel_spark.operators.sessionize import session_stats
+
+    GAP = 600
+
+    def py_sessions(rows):
+        out = {}
+        by_user = {}
+        for uid, eid, ts in rows:
+            by_user.setdefault(uid, []).append((int(ts.timestamp()), eid))
+        for uid, evs in by_user.items():
+            evs.sort()
+            idx = -1
+            prev = None
+            for t, eid in evs:
+                if prev is None or t - prev > GAP:
+                    idx += 1
+                out.setdefault((uid, idx), []).append(t)
+                prev = t
+        return {
+            k: (len(v), max(v) - min(v)) for k, v in out.items()
+        }
+
+    base = datetime(2024, 3, 1)
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for uid in range(rng.randint(1, 6)):
+            t = 0
+            for _ in range(rng.randint(1, 30)):
+                # mix sub-gap and super-gap jumps, incl. zero (same second)
+                t += rng.choice([0, 1, 30, 599, 600, 601, 5000])
+                rows.append((uid, eid, base + timedelta(seconds=t)))
+                eid += 1
+        ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+        got = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+            for r in session_stats(ev, gap_seconds=GAP).collect()
+        }
+        assert got == py_sessions(rows), f"seed {seed}"
