@@ -544,3 +544,37 @@ def test_near_dup_n_aware_recall(spark):
     }
     release_persisted()
     assert (3, 299) in pairs
+
+
+def test_minhash_arrow_fold_matches_jvm(spark):
+    """The vectorized Arrow permutation fold must be BIT-identical to the
+    JVM aggregate/zip_with fold — including Spark's truncated-remainder %
+    on negative xxhash64 bases, empty docs, and the engine-stable hash60
+    base (nonnegative)."""
+    from pyspark.sql import functions as F
+
+    from cflog2otel_spark.operators.dedup import (
+        _base_hash,
+        _minhash_fold_arrow,
+        minhash_signature,
+        shingles,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, ""),                      # empty -> init row (all MERSENNE_P)
+        (3, "one two"),               # below shingle width -> empty set
+        (4, " ".join(f"w{i}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for stable in (False, True):
+        sh = shingles(F.col("text"))
+        base = F.transform(sh, lambda s: _base_hash(s, stable))
+        out = df.select(
+            "doc_id",
+            minhash_signature(sh, 32, 42, stable).alias("jvm"),
+            _minhash_fold_arrow(32, 42)(base).alias("arrow"),
+        ).collect()
+        for r in out:
+            assert list(r["jvm"]) == list(r["arrow"]), (stable, r["doc_id"])
