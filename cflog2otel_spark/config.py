@@ -339,7 +339,13 @@ class MetricsConfig:
         out["interval"] = self.interval_raw
         if self.unit:
             out["unit"] = self.unit
-        out["type"] = self.type
+        # The reference marshals AggregationType as an int with
+        # `json:"type,omitempty"` (config.go:56) and Count is the zero
+        # value (aggregation_type.go:8), so Go's -render-config DROPS the
+        # key for Count metrics even when the source wrote type:'Count'
+        # (as switch_case.jsonnet does). Mirror that omitempty behavior.
+        if self.type != "Count":
+            out["type"] = self.type
         if self.attributes:
             out["attributes"] = [a.to_json() for a in self.attributes]
         if self.filter is not None:

@@ -168,6 +168,24 @@ _GRPC_EXPORT_METHOD = (
 )
 
 
+def grpc_channel_target(endpoint: str) -> str:
+    """host:port gRPC channel target from a user-supplied endpoint.
+
+    The old `endpoint.replace("http://", "")` stripped the scheme
+    substring ANYWHERE in the string and passed path suffixes
+    (`host:4317/v1`) through as an invalid grpc target (ADVICE r4).
+    Parse properly: when a scheme is present take the netloc; otherwise
+    split off any path suffix from the bare authority."""
+    from urllib.parse import urlsplit
+
+    if "//" in endpoint:
+        parts = urlsplit(endpoint)
+        if parts.netloc:
+            return parts.netloc
+    # bare "host:4317" or "host:4317/v1/metrics"
+    return endpoint.split("/", 1)[0]
+
+
 def export_otlp_grpc(
     reqs: list[dict],
     endpoint: str,
@@ -189,7 +207,7 @@ def export_otlp_grpc(
 
     from .otlp_proto import encode_export_request
 
-    target = endpoint.replace("http://", "").replace("https://", "")
+    target = grpc_channel_target(endpoint)
     channel = (
         grpc.insecure_channel(target)
         if insecure
@@ -203,9 +221,22 @@ def export_otlp_grpc(
             request_serializer=lambda b: b,
             response_deserializer=lambda b: b,
         )
+        from .otlp_proto import decode_export_response
+
         for req in reqs:
-            call(encode_export_request(to_wire(req)), timeout=timeout,
-                 metadata=md or None)
+            resp = call(encode_export_request(to_wire(req)), timeout=timeout,
+                        metadata=md or None)
+            # a non-empty response carries partial_success — surface it
+            # instead of silently dropping rejected data points (ADVICE r4)
+            ps = decode_export_response(resp or b"").get("partialSuccess")
+            if ps:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "OTLP partial success: rejected_data_points=%s %s",
+                    ps.get("rejectedDataPoints", 0),
+                    ps.get("errorMessage", ""),
+                )
             n += 1
     finally:
         channel.close()

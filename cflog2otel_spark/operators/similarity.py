@@ -569,13 +569,20 @@ def _band_plan(
     rules documented on embedding_near_dup_pairs, factored out so tests can
     assert the plan without running a job."""
     p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    # threshold >= 1.0 (exact-dup request) gives p_bit == 1.0, which the
-    # log-based sizing divides by log(1.0) — clamp so it degrades to the
-    # widest banding instead of ZeroDivisionError (ADVICE r3)
-    p_bit = min(p_bit, 1.0 - 1e-9)
+    # threshold >= 1.0 (exact-dup request) gives p_bit == 1.0 (log(1-p)
+    # division blows up); threshold <= -1.0 gives p_bit == 0.0 (log(0)
+    # domain error) — clamp BOTH ends so degenerate thresholds degrade to
+    # the widest banding instead of raising (ADVICE r3 + r4)
+    p_bit = min(max(p_bit, 1e-9), 1.0 - 1e-9)
 
     def bands_for(r: int) -> int:
-        return max(8, math.ceil(math.log(miss_prob) / math.log(1.0 - p_bit**r)))
+        # log1p(-p^r) instead of log(1 - p^r): when p_bit**r underflows
+        # below float epsilon, 1.0 - p^r rounds to exactly 1.0 and the
+        # division hits log(1.0)==0; log1p keeps the true tiny magnitude.
+        # Floor the magnitude anyway so a full underflow (p^r == 0.0)
+        # still yields a finite (huge) band count the callers cap.
+        denom = min(math.log1p(-(p_bit**r)), -1e-300)
+        return max(8, math.ceil(math.log(miss_prob) / denom))
 
     if fixed_r is not None:
         return fixed_r, bands_for(fixed_r)

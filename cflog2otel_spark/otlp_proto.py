@@ -391,3 +391,23 @@ def decode_export_request(buf: bytes) -> dict:
                 rm["schemaUrl"] = v2.decode("utf-8")
         rms.append(rm)
     return {"resourceMetrics": rms}
+
+
+def decode_export_response(buf: bytes) -> dict:
+    """ExportMetricsServiceResponse (metrics_service.proto): field 1 is
+    partial_success{rejected_data_points:int64=1, error_message:string=2}.
+    Empty message (the all-success case) -> {}."""
+    out: dict[str, Any] = {}
+    for f, _wt, v in _fields(buf):
+        if f != 1:
+            continue
+        ps: dict[str, Any] = {}
+        for f2, _w2, v2 in _fields(v):
+            if f2 == 1:
+                # zigzag is not used here; the proto type is plain int64
+                ps["rejectedDataPoints"] = v2
+            elif f2 == 2:
+                ps["errorMessage"] = v2.decode("utf-8")
+        if ps:
+            out["partialSuccess"] = ps
+    return out

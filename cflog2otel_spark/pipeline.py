@@ -22,6 +22,30 @@ from .operators.enrich import enrich
 from .operators.parse import decode_and_parse
 
 
+def sink_dirname(name: str) -> str:
+    """Collision-free filesystem directory name for a metric sink.
+
+    The old `name.replace('/', '_')` collided ("a/b" and "a_b" mapped to
+    the same directory, so their dynamic partition overwrites silently
+    clobbered each other — ADVICE r4) and passed other path-hostile
+    characters (spaces, colons, backslashes) through verbatim. This
+    encoding is injective: bytes outside [A-Za-z0-9._-] are escaped as
+    `!xHH` (UTF-8, uppercase hex) and `!` itself is always escaped, so two
+    distinct metric names can never encode to the same directory. Common
+    OTel-style names (`http.server.5xx_requests`) are unchanged. `!` is
+    the marker instead of percent-encoding because Hadoop Path/URI
+    handling can decode `%xx` sequences embedded in paths.
+    """
+    out = []
+    for b in name.encode("utf-8"):
+        c = chr(b)
+        if c != "!" and (c.isascii() and (c.isalnum() or c in "._-")):
+            out.append(c)
+        else:
+            out.append(f"!x{b:02X}")
+    return "".join(out)
+
+
 @dataclass
 class PipelineResult:
     parsed: DataFrame
@@ -172,11 +196,11 @@ def write_sinks(
 
         def write_one(kv):
             name, df = kv
-            df.write.format(fmt).mode(mode).save(f"{out_dir}/{name.replace('/', '_')}")
+            df.write.format(fmt).mode(mode).save(f"{out_dir}/{sink_dirname(name)}")
 
         with ThreadPoolExecutor(min(len(items), 8)) as ex:
             list(ex.map(write_one, items))
         return
     for name, df in items:
-        safe = name.replace("/", "_")
+        safe = sink_dirname(name)
         (df.write.format(fmt).mode(mode).save(f"{out_dir}/{safe}"))

@@ -1101,6 +1101,30 @@ _STRICT_PLANT_K = 8
 _STRICT_PLANT_BASE = 10_000_000
 
 
+_EMB_NROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _emb_plants_n_rows(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """Row count of the planted embedding corpus WITHOUT a per-invocation
+    full `emb.count()` scan (VERDICT r4 #3): parquet footers already carry
+    exact row counts (pyarrow reads row-group metadata only — no data IO),
+    and the plant adds one row per base vec_id < _STRICT_PLANT_K. Cached
+    per (app, sf_dir) like _PARSED_CACHE; falls back to one cached
+    `emb.count()` job for non-local/remote layouts pyarrow can't reach.
+    The consumer is the log2(n)+2 banding floor, so footer-exact is more
+    than enough precision."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_NROWS_CACHE:
+        try:
+            import pyarrow.dataset as pads
+
+            base_n = pads.dataset(f"{sf_dir}/embeddings.parquet").count_rows()
+            _EMB_NROWS_CACHE[key] = base_n + _STRICT_PLANT_K
+        except Exception:
+            _EMB_NROWS_CACHE[key] = emb.count()
+    return _EMB_NROWS_CACHE[key]
+
+
 def _emb_with_plants(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select(
@@ -1141,7 +1165,9 @@ def q_emb_near_dup_nware(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs
 
     emb = _emb_with_plants(spark, sf_dir)
-    return embedding_near_dup_pairs(emb, threshold=0.95, n_rows=emb.count())
+    return embedding_near_dup_pairs(
+        emb, threshold=0.95, n_rows=_emb_plants_n_rows(spark, sf_dir, emb)
+    )
 
 
 def o_emb_near_dup_strict() -> str:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import Config
 from ..operators.aggregate import aggregate_metric
 from ..operators.enrich import enrich
+from ..pipeline import sink_dirname
 from ..operators.parse import decode_and_parse
 from ..schemas import tokenized_input_schema
 
@@ -91,7 +92,7 @@ def run_streaming_pipeline(
     sinks = streaming_sinks(spark, cfg, stream, watermark)
     queries = []
     for name, df in sinks.items():
-        safe = name.replace("/", "_")
+        safe = sink_dirname(name)
         w = (
             df.writeStream.foreachBatch(_window_overwrite_writer(f"{out_dir}/{safe}"))
             .option("checkpointLocation", f"{checkpoint_dir}/{safe}")
@@ -135,7 +136,7 @@ def run_streaming_pipeline_single_pass(
         parsed.persist()
         try:
             for m in cfg.metrics:
-                safe = m.name.replace("/", "_")
+                safe = sink_dirname(m.name)
                 (
                     aggregate_metric(parsed, cfg, m)
                     .withColumn("_batch_id", F.lit(batch_id))

@@ -89,11 +89,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument(
         "--stream-single-pass",
         action="store_true",
-        help="with --stream: one streaming query whose foreachBatch "
-        "decodes/parses each micro-batch once and derives every metric "
-        "sink from the shared projection, emitting per-batch window DELTAS "
-        "keyed by _batch_id (sum per window on read — the OTLP delta "
-        "contract); the default runs one stateful windowed query per metric",
+        help="deprecated no-op: single-pass is now the --stream default "
+        "(it won every measured A/B by 1.2-3.7x; see BENCH.md)",
+    )
+    ap.add_argument(
+        "--stream-per-metric",
+        action="store_true",
+        help="with --stream: run one stateful windowed query PER metric "
+        "(RocksDB state, watermarked update-mode re-emits) instead of the "
+        "default single-pass foreachBatch fan-out. The per-metric path "
+        "scans and parses the corpus once per metric — measured 1.2-3.7x "
+        "slower at 4 metrics — but keeps windows open across future "
+        "micro-batches, which matters only for genuinely unbounded "
+        "long-running streams",
     )
     ap.add_argument(
         "--watermark",
@@ -194,19 +202,23 @@ def main(argv: list[str] | None = None) -> int:
                 else "1 hour"
             )
             t0 = time.time()
-            if args.stream_single_pass:
-                queries = run_streaming_pipeline_single_pass(
-                    spark, cfg, args.input, args.out, args.checkpoint_dir,
-                    trigger_once=True,
-                )
-            else:
+            # single-pass is the default (VERDICT r4): one decode/parse per
+            # micro-batch feeding every sink beat the per-metric stateful
+            # fan-out in every measured A/B (1.2-3.7x, BENCH.md). The
+            # per-metric path remains for genuinely unbounded streams.
+            if args.stream_per_metric:
                 queries = run_streaming_pipeline(
                     spark, cfg, args.input, args.out, args.checkpoint_dir,
                     watermark=watermark, trigger_once=True,
                 )
+            else:
+                queries = run_streaming_pipeline_single_pass(
+                    spark, cfg, args.input, args.out, args.checkpoint_dir,
+                    trigger_once=True,
+                )
             for q in queries:
                 q.awaitTermination()
-            mode = "stream-single-pass" if args.stream_single_pass else "stream"
+            mode = "stream-per-metric" if args.stream_per_metric else "stream-single-pass"
             print(
                 json.dumps({"run": {"elapsed_sec": round(time.time() - t0, 3),
                                     "mode": mode, "watermark": watermark}}),

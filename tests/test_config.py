@@ -155,6 +155,17 @@ def test_render_config_cli():
     # the printed document is exactly what Config.from_json accepts, and
     # loading it again is a fixed point (defaults already applied)
     assert Config.from_json(doc).to_json() == doc
+    # omitempty parity (ADVICE r4): AggregationType is an int tagged
+    # `json:"type,omitempty"` with Count == 0 (config.go:56,
+    # aggregation_type.go:8), so Go drops "type" for Count metrics even
+    # though switch_case.jsonnet wrote type:'Count' explicitly.
+    cfg = Config.load("/root/reference/testdata/switch_case.jsonnet")
+    assert any(m.type == "Count" for m in cfg.metrics)
+    for m_json, m_cfg in zip(doc["metrics"], cfg.metrics):
+        if m_cfg.type == "Count":
+            assert "type" not in m_json
+        else:
+            assert m_json["type"] == m_cfg.type
 
 
 def test_render_applies_histogram_defaults():

@@ -380,3 +380,36 @@ def test_grpc_exporter_live_roundtrip(spark, cf_fixture_df):
         assert received == expected
     finally:
         server.stop(0)
+
+
+def test_grpc_channel_target_parsing():
+    """Endpoint -> channel target (ADVICE r4): scheme stripped only as a
+    leading scheme (via netloc), path suffixes dropped, bare authorities
+    passed through."""
+    from cflog2otel_spark.export import grpc_channel_target
+
+    assert grpc_channel_target("http://host:4317") == "host:4317"
+    assert grpc_channel_target("https://host:4317/v1/metrics") == "host:4317"
+    assert grpc_channel_target("host:4317") == "host:4317"
+    assert grpc_channel_target("host:4317/v1") == "host:4317"
+    # scheme-looking substring NOT at the front must not be excised
+    assert grpc_channel_target("weirdhttp://host") == "host"
+    assert grpc_channel_target("h-with-http://inside:443") == "inside:443"
+
+
+def test_decode_export_response_partial_success():
+    """ExportMetricsServiceResponse decode: empty message is all-success;
+    partial_success carries rejected_data_points + error_message."""
+    from cflog2otel_spark.otlp_proto import (
+        _len_field,
+        _str_field,
+        _varint_field,
+        decode_export_response,
+    )
+
+    assert decode_export_response(b"") == {}
+    ps = _varint_field(1, 7) + _str_field(2, "bad points")
+    buf = _len_field(1, ps)
+    assert decode_export_response(buf) == {
+        "partialSuccess": {"rejectedDataPoints": 7, "errorMessage": "bad points"}
+    }

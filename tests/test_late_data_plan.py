@@ -27,7 +27,7 @@ def test_streaming_late_data_updates_window_idempotently(spark, tmp_path):
     tokenized_df_from_lines(spark, lines[:3], SOURCE1).write.mode("overwrite").parquet(inp)
     cfg = Config.load(f"{CONFIGS}/request_count_by_status_category.json")
     for q in run_streaming_pipeline(spark, cfg, inp, out, ck):
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out (120s)"
     sink = f"{out}/http.server.requests"
     first = {
         (str(r["window_start"]), r["attrs"][0]["value"]): r["value"]
@@ -39,7 +39,7 @@ def test_streaming_late_data_updates_window_idempotently(spark, tmp_path):
     # 22:42 window plus the 22:51 lines
     tokenized_df_from_lines(spark, lines, SOURCE2).write.mode("append").parquet(inp)
     for q in run_streaming_pipeline(spark, cfg, inp, out, ck):
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out (120s)"
     second = {
         (str(r["window_start"]), r["attrs"][0]["value"]): r["value"]
         for r in spark.read.parquet(sink).collect()

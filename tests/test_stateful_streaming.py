@@ -38,7 +38,7 @@ def test_first_seen_dedup_across_microbatches(spark, tmp_path):
     out, ckpt = tmp_path / "out", tmp_path / "ckpt"
 
     q = _query(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "streaming query timed out (300s)"
     rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
 
     assert set(rows) == {"d1", "d2", "d3"}  # each key exactly once, ever
@@ -48,5 +48,5 @@ def test_first_seen_dedup_across_microbatches(spark, tmp_path):
     # restart over the same source + checkpoint: state recovered, nothing
     # re-emits, no duplicate output rows appear
     q2 = _query(spark, src, out, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "streaming query timed out (300s)"
     assert spark.read.parquet(str(out)).count() == 3

@@ -25,7 +25,7 @@ def test_streaming_matches_batch(spark, cf_fixture_df, tmp_path):
         spark, cfg, inp, str(tmp_path / "out"), str(tmp_path / "ck")
     )
     for q in queries:
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out (120s)"
     out = spark.read.parquet(str(tmp_path / "out/http.server.requests"))
     rows = {
         (str(r["window_start"]), r["attrs"][0]["value"]): r["value"]
@@ -59,7 +59,7 @@ def test_streaming_single_pass_matches_batch(spark, cf_fixture_df, tmp_path):
         max_files_per_trigger=1,
     )
     for q in queries:
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query timed out (120s)"
 
     out = spark.read.parquet(str(tmp_path / "out/http.server.requests"))
     assert out.select("_batch_id").distinct().count() >= 2  # really multi-batch
@@ -176,6 +176,42 @@ def test_pil_image_decode_when_available(spark):
     )
     row = extract_features(media).collect()[0]
     assert row["feature"] == _decode_image_pil(payload).tolist()
+
+
+def test_pil_resize_payload_when_available(spark):
+    """Real PIL resize path (VERDICT r4 #2): on a PIL-equipped cluster the
+    resize payload is a genuine re-encoded PNG — decode it back and assert
+    the actual output dimensions (8x6), so the real payload is verified
+    (not just metadata/passthrough as the env-independent oracle gate
+    does). Skips where PIL is absent; the stub-path plumbing is covered by
+    test_resize_images_stage either way."""
+    import pytest as _pytest
+
+    from cflog2otel_spark.operators.multimodal import (
+        REAL_DECODERS_AVAILABLE,
+        resize_images,
+    )
+
+    if not REAL_DECODERS_AVAILABLE:
+        _pytest.skip("PIL not installed in this container")
+
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("RGB", (32, 16), (10, 200, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("m0", "image", buf.getvalue(), "image/png", 32, 16, None)],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    row = resize_images(media, 8, 6).collect()[0]
+    assert (row["width"], row["height"]) == (8, 6)
+    out_img = PIL.Image.open(io.BytesIO(bytes(row["payload"])))
+    assert out_img.size == (8, 6)  # decoded payload, not just metadata
+    assert out_img.format == "PNG"
 
 
 def test_resize_images_stage(spark):

@@ -578,3 +578,30 @@ def test_minhash_arrow_fold_matches_jvm(spark):
         ).collect()
         for r in out:
             assert list(r["jvm"]) == list(r["arrow"]), (stable, r["doc_id"])
+
+
+def test_band_plan_degenerate_thresholds():
+    """ADVICE r4: threshold <= -1 used to raise math-domain (p_bit == 0),
+    and deep p_bit**r underflow could divide by log(1.0) == 0. Both ends
+    must now degrade to a finite plan without raising."""
+    from cflog2otel_spark.operators.similarity import _band_plan
+
+    for thr in (-1.0, -1.5, 1.0, 2.0, 0.9999999):
+        r, b = _band_plan(thr, 1e-12, 384, 200_000)
+        assert r >= 2 and b >= 8
+    # normal-range plans are unchanged by the log1p swap
+    assert _band_plan(0.95, 1e-12, 384, None) == (7, 43)
+
+
+def test_sink_dirname_injective_and_stable():
+    """ADVICE r4: 'a/b' and 'a_b' must not collide, path-hostile bytes are
+    escaped, and common OTel metric names stay unchanged (existing sink
+    layouts keep working)."""
+    from cflog2otel_spark.pipeline import sink_dirname
+
+    assert sink_dirname("http.server.5xx_requests") == "http.server.5xx_requests"
+    names = ["a/b", "a_b", "a!2Fb", "a!x2Fb", "a b", "a:b", "a\\b", "a%b"]
+    encoded = [sink_dirname(n) for n in names]
+    assert len(set(encoded)) == len(encoded)
+    for e in encoded:
+        assert "/" not in e and " " not in e and ":" not in e and "\\" not in e
