@@ -211,6 +211,9 @@ def main() -> None:
         "docs_gopher",        # quality-filter rule evaluation, pure codegen
         "docs_contamination", # broadcast benchmark-gram decontamination join
         "docs_dedup_clusters",  # LSH pairs -> connected components -> keep
+        "tok_packing",        # distributed prefix-scan sequence packing
+        "tok_vocab_topk",     # exploded token frequency, one combined shuffle
+        "events_attribution", # as-of join (union-merge window, one shuffle)
     ]:
         if not budget_left():
             skip(name)

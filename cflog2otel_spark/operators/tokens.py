@@ -1,0 +1,193 @@
+"""Token-payload operators over pre-tokenized training sequences.
+
+The graft's payload is `(doc_id, tokens: array<int32>, n_tok, source)`
+(BASELINE.json `input_hint`). The cf_* pipeline carries that payload
+through parse→aggregate untouched (token-array equality is the invariant);
+this module adds the operators a *training-data* pipeline runs ON the
+token arrays themselves:
+
+- `tokenize_documents` — a deterministic word→id tokenizer producing the
+  exact input_hint shape from the `documents` table. The id function is
+  the same cross-engine polynomial char hash the document fingerprint
+  uses (operators/text.py `fingerprint`), mod a GPT-2-sized vocab, so the
+  DuckDB oracle reproduces every token id exactly.
+- `pack_sequences` — GPT-style sequence packing: concatenate each
+  source's token stream in doc order and slice it into fixed-`budget`
+  training sequences. Implemented as a DISTRIBUTED two-phase prefix scan
+  (per-partition subtotals → broadcast cumulative offsets → balanced
+  windows), NOT `Window.partitionBy(source)`: a pretraining corpus has
+  a handful of sources with ~10^11 rows each, and a per-source window
+  would pull an entire source through one task. The scan keeps every
+  partition's window bounded by the partition size regardless of how hot
+  a source is.
+- `vocab_frequencies` / `bigram_frequencies` — corpus token/bigram
+  statistics: explode → partial-aggregated count (map-side combine),
+  one shuffle keyed by the id. Bigrams pair adjacent tokens via
+  `zip_with(slice, slice)` — no `sequence(1, n-1)` (Spark's `sequence`
+  silently DESCENDS for n < 2) and no `element_at` (ANSI throws
+  out-of-bounds).
+
+All hot-path logic is native pyspark.sql.functions / SQL expressions
+(JVM codegen); the only driver-side step is the tiny per-(partition,
+source) subtotal table of the prefix scan (control-plane, ≤ partitions ×
+sources rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# GPT-2's published vocabulary size — a familiar, public constant that
+# keeps token ids in int32 and bigram pair-encodings in int64.
+VOCAB_SIZE = 50257
+
+# one token id per whitespace word: polynomial char hash (the
+# docs_fingerprint precedent — stepwise mod-free sum stays < 2^53 so
+# double/int64 agree across engines), then mod VOCAB_SIZE
+_WORD_ID = (
+    "CAST(CAST(aggregate(sequence(1, length({w})), 0D, "
+    "(acc, i) -> acc + ascii(substr({w}, i, 1)) * "
+    "CAST(pow(31, (i - 1) % 8) AS DOUBLE)) AS BIGINT) "
+    f"% {VOCAB_SIZE} AS INT)"
+)
+
+
+def tokens_expr(text_col: str) -> Column:
+    """array<int> of deterministic word ids for a text column; empty/null
+    text tokenizes to an empty array (never null)."""
+    word_id = _WORD_ID.format(w="w")
+    return F.expr(
+        f"CASE WHEN {text_col} IS NULL OR trim({text_col}) = '' "
+        "THEN array() "
+        f"ELSE transform(split(trim(lower({text_col})), '\\\\s+'), "
+        f"w -> {word_id}) END"
+    )
+
+
+def tokenize_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source, ...) → the input_hint corpus shape
+    (doc_id, tokens array<int>, n_tok int, source). Pure per-row codegen;
+    no shuffle."""
+    return docs.select(
+        "doc_id",
+        tokens_expr("text").alias("tokens"),
+        F.size(tokens_expr("text")).alias("n_tok"),
+        "source",
+    )
+
+
+def pack_sequences(
+    tok: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    """Assign every document its place in the packed training stream.
+
+    Semantics: per source, concatenate docs in `order_col` order into one
+    token stream and slice the stream into `budget`-token sequences
+    (GPT-style concat-then-chunk; boundary docs span two sequences).
+    Emits per doc: `tok_offset` (0-based position of the doc's first
+    token in its source's stream), `seq_first` / `seq_last` (sequence
+    indices the doc lands in) and `pos_in_seq` (offset within seq_first).
+
+    Scale shape — distributed two-level prefix scan, NOT a per-source
+    window (a pretraining corpus has a handful of sources with ~10^11
+    rows each; `Window.partitionBy(source)` would pull a whole source
+    through one task):
+      1. bucket rows by a VALUE-derived chunk key,
+         `chunk = floor(order / chunk_rows)` — deterministic, so the scan
+         needs no physical-partition-id plumbing and is reproducible by
+         the SQL oracle row-for-row;
+      2. per-(source, chunk) token subtotals (map-side combined — the
+         shuffle carries ≤ n_rows / chunk_rows tiny rows), then a running
+         sum per source over that SUBTOTAL table gives each chunk's start
+         offset. The subtotal table is corpus_size / chunk_rows rows
+         (10^12 rows → ~15 M at the default 2^16), so its per-source
+         window is cheap; it is then broadcast back;
+      3. running sum WITHIN each (source, chunk) + the chunk's broadcast
+         start offset = the exact global per-source prefix sum, computed
+         with every window partition bounded at `chunk_rows` rows.
+    One full-data shuffle total (the per-chunk window), regardless of
+    source skew. Requires a numeric `order_col` (doc ids); ordering
+    within a source is (order_col) and must be unique per source.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if chunk_rows <= 0:
+        raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
+    chunk = F.floor(F.col(order_col) / F.lit(int(chunk_rows))).alias("_pack_chunk")
+    n_tok = F.col(n_tok_col).cast("long")
+    with_chunk = tok.withColumn("_pack_chunk", chunk)
+    sub = with_chunk.groupBy(source_col, "_pack_chunk").agg(
+        F.sum(n_tok).alias("_pack_sub")
+    )
+    w_sub = Window.partitionBy(source_col).orderBy("_pack_chunk")
+    sub_off = sub.select(
+        source_col,
+        "_pack_chunk",
+        F.coalesce(
+            F.sum("_pack_sub").over(
+                w_sub.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_pack_off"),
+    )
+    w = Window.partitionBy(source_col, "_pack_chunk").orderBy(order_col)
+    offset = (
+        F.coalesce(
+            F.sum(n_tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        )
+        + F.col("_pack_off")
+    )
+    b = F.lit(int(budget)).cast("long")
+    return (
+        with_chunk.join(F.broadcast(sub_off), [source_col, "_pack_chunk"])
+        .withColumn("tok_offset", offset)
+        .withColumn("seq_first", F.floor(F.col("tok_offset") / b))
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("tok_offset") + F.greatest(n_tok, F.lit(1).cast("long")) - 1)
+                / b
+            ),
+        )
+        .withColumn("pos_in_seq", F.col("tok_offset") % b)
+        .drop("_pack_chunk", "_pack_off")
+    )
+
+
+def vocab_frequencies(tok: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, freq) across the corpus: explode + one count shuffle keyed
+    by token id; partial aggregation combines map-side so the shuffle
+    carries ≤ vocab-size rows per partition."""
+    return (
+        tok.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bigram_expr(tokens_col: str = "tokens") -> Column:
+    """Adjacent-pair encodings a*2^16+b (token ids < 2^16 by VOCAB_SIZE);
+    arrays shorter than 2 yield an empty array."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < 2 THEN array() "
+        f"ELSE zip_with(slice({tokens_col}, 1, size({tokens_col}) - 1), "
+        f"slice({tokens_col}, 2, size({tokens_col}) - 1), "
+        "(a, b) -> CAST(a AS BIGINT) * 65536 + CAST(b AS BIGINT)) END"
+    )
+
+
+def bigram_frequencies(tok: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(bigram, freq) across the corpus — same shuffle discipline as
+    vocab_frequencies; bigram ids decode as (id div 2^16, id mod 2^16)."""
+    return (
+        tok.select(F.explode(bigram_expr(tokens_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

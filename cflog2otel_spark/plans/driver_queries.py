@@ -1810,6 +1810,178 @@ def o_media_resize() -> str:
     """
 
 
+# --- token-payload operators (operators/tokens.py) -------------------------
+# The graft payload is pre-tokenized sequences (BASELINE.json input_hint);
+# these gates verify the operators that work ON token arrays. The DuckDB
+# tokenizer twin reproduces every token id exactly (same polynomial char
+# hash as docs_fingerprint, mod the GPT-2 vocab size).
+
+_TOK_SQL = r"""
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+    ELSE list_transform(regexp_split_to_array(trim(lower(text)), '\s+'), w ->
+      CAST(CAST(list_sum(list_transform(range(1, length(w) + 1), i ->
+        ascii(substr(w, CAST(i AS INT), 1)) * CAST(pow(31, (i - 1) % 8) AS BIGINT)))
+        AS BIGINT) % 50257 AS INT)) END AS tokens,
+    source
+  FROM documents
+"""
+
+
+def q_tok_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word->id tokenization to the input_hint corpus shape,
+    verified TOKEN-BY-TOKEN: the gate explodes (doc_id, pos, token) so the
+    hash covers every token id and position, the per-row token-array
+    equality invariant in exploded form."""
+    from ..operators.tokens import tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = tokenize_documents(docs)
+    return tok.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def o_tok_corpus() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL})
+      SELECT doc_id,
+             unnest(range(1, len(tokens) + 1)) AS pos,
+             unnest(tokens) AS token
+      FROM t
+    """
+
+
+def q_tok_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk at budget 64) via the
+    distributed two-level prefix scan — the oracle recomputes the SAME
+    offsets with one plain per-source window, so the gate proves the
+    chunked scan equals the logical single-stream prefix sum. chunk_rows
+    is deliberately tiny (32) so chunk boundaries are actually crossed at
+    sf0.01."""
+    from ..operators.tokens import pack_sequences, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        tokenize_documents(docs), budget=64, chunk_rows=32
+    )
+    return packed.select(
+        "doc_id", "source", "n_tok", "tok_offset",
+        "seq_first", "seq_last", "pos_in_seq",
+    )
+
+
+def o_tok_packing() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      o AS (
+        SELECT doc_id, source,
+               CAST(len(tokens) AS INT) AS n_tok,
+               CAST(COALESCE(SUM(CAST(len(tokens) AS BIGINT)) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_offset
+        FROM t)
+      SELECT doc_id, source, n_tok, tok_offset,
+             CAST(tok_offset // 64 AS BIGINT) AS seq_first,
+             CAST((tok_offset + GREATEST(n_tok, 1) - 1) // 64 AS BIGINT) AS seq_last,
+             CAST(tok_offset % 64 AS BIGINT) AS pos_in_seq
+      FROM o
+    """
+
+
+def q_tok_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, top 100 under the total order
+    (freq DESC, token ASC) — the vocabulary-coverage statistic a
+    tokenizer-health check runs. Map-side combined count, one shuffle
+    keyed by token id (<= vocab-size rows reach the reduce)."""
+    from ..operators.tokens import tokenize_documents, vocab_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vf = vocab_frequencies(tokenize_documents(docs))
+    return vf.orderBy(F.desc("freq"), "token").limit(100)
+
+
+def o_tok_vocab_topk() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL})
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(tokens) AS token FROM t)
+      GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """
+
+
+def q_tok_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token bigram frequencies (ids encoded a*2^16+b), top 100
+    under (freq DESC, bigram ASC). The pair encoding uses zip_with over
+    two slices — no sequence(1, n-1) (Spark descends for n < 2) and no
+    element_at (ANSI throws out-of-bounds)."""
+    from ..operators.tokens import bigram_frequencies, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bf = bigram_frequencies(tokenize_documents(docs))
+    return bf.orderBy(F.desc("freq"), "bigram").limit(100)
+
+
+def o_tok_bigram_topk() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      b AS (
+        SELECT unnest(list_transform(range(1, len(tokens)), i ->
+          CAST(tokens[CAST(i AS INT)] AS BIGINT) * 65536
+          + CAST(tokens[CAST(i AS INT) + 1] AS BIGINT))) AS bigram
+        FROM t WHERE len(tokens) >= 2)
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM b GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 100
+    """
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the user's most
+    recent view at-or-before it — the as-of join (operators/joins.py),
+    a union-merge window (ONE shuffle on user_id, no inequality-join
+    range explosion). The right side dedupes to max(event_id) per
+    (user, ts) so equal-timestamp views are deterministic; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    j = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_id_right").alias("view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right"))
+        .cast("bigint")
+        .alias("secs_since_view"),
+    )
+
+
+def o_events_attribution() -> str:
+    return """
+      WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                 WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events
+            WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, p.ts, v.view_id,
+             CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_since_view
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -1857,4 +2029,12 @@ QUERIES = {
     "media_features": (q_media_features, o_media_features),
     "media_frame_plan": (q_media_frame_plan, o_media_frame_plan),
     "media_resize": (q_media_resize, o_media_resize),
+    # token-payload operators (round 5): tokenizer verified token-by-token,
+    # distributed-prefix-scan packing vs a single-window oracle, corpus
+    # token/bigram statistics, and the as-of join vs DuckDB's native ASOF
+    "tok_corpus": (q_tok_corpus, o_tok_corpus),
+    "tok_packing": (q_tok_packing, o_tok_packing),
+    "tok_vocab_topk": (q_tok_vocab_topk, o_tok_vocab_topk),
+    "tok_bigram_topk": (q_tok_bigram_topk, o_tok_bigram_topk),
+    "events_attribution": (q_events_attribution, o_events_attribution),
 }

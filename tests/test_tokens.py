@@ -1,0 +1,213 @@
+"""Token-payload operators (operators/tokens.py) and the as-of join
+(operators/joins.py): property tests against pure-Python references,
+edge cases, and scale-shape plan assertions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _py_word_id(w: str, vocab: int = 50257) -> int:
+    total = 0
+    for i, ch in enumerate(w):
+        total += ord(ch) * 31 ** (i % 8)
+    return total % vocab
+
+
+def _py_tokens(text: str | None) -> list[int]:
+    if text is None or text.strip() == "":
+        return []
+    return [_py_word_id(w) for w in text.strip().lower().split()]
+
+
+def test_tokenizer_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello World", "s0"),
+            (1, "  padded   whitespace\ttabs ", "s0"),
+            (2, "", "s1"),
+            (3, None, "s1"),
+            (4, "repeat repeat repeat", "s1"),
+            (5, "punctuation, and. symbols!", "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from cflog2otel_spark.operators.tokens import tokenize_documents
+
+    rows = {r["doc_id"]: r for r in tokenize_documents(docs).collect()}
+    assert rows[0]["tokens"] == _py_tokens("Hello World")
+    assert rows[1]["tokens"] == _py_tokens("  padded   whitespace\ttabs ")
+    assert rows[2]["tokens"] == [] and rows[2]["n_tok"] == 0
+    assert rows[3]["tokens"] == [] and rows[3]["n_tok"] == 0
+    t = rows[4]["tokens"]
+    assert len(set(t)) == 1 and len(t) == 3
+    for r in rows.values():
+        assert r["n_tok"] == len(r["tokens"])
+        assert all(0 <= x < 50257 for x in r["tokens"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # source
+            st.integers(min_value=0, max_value=200),  # n_tok
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=64),  # budget
+    st.integers(min_value=1, max_value=16),  # chunk_rows
+)
+def test_pack_sequences_matches_reference(spark, rows, budget, chunk_rows):
+    """The distributed two-level prefix scan equals the logical
+    single-stream per-source prefix sum for ANY chunk size, and the
+    seq_first/seq_last/pos_in_seq arithmetic matches concat-then-chunk."""
+    data = [(i, src, n) for i, (src, n) in enumerate(rows)]
+    tok = spark.createDataFrame(data, "doc_id long, source string, n_tok int")
+    from cflog2otel_spark.operators.tokens import pack_sequences
+
+    got = {
+        r["doc_id"]: (
+            r["tok_offset"], r["seq_first"], r["seq_last"], r["pos_in_seq"]
+        )
+        for r in pack_sequences(
+            tok, budget=budget, chunk_rows=chunk_rows
+        ).collect()
+    }
+    offsets: dict[str, int] = {}
+    for doc_id, src, n in sorted(data):
+        off = offsets.get(src, 0)
+        want = (
+            off,
+            off // budget,
+            (off + max(n, 1) - 1) // budget,
+            off % budget,
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        offsets[src] = off + n
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    from cflog2otel_spark.operators.tokens import pack_sequences
+
+    tok = spark.createDataFrame(
+        [(0, "s", 3)], "doc_id long, source string, n_tok int"
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(tok, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(tok, budget=64, chunk_rows=0)
+
+
+def test_pack_sequences_plan_is_chunk_partitioned(spark):
+    """Scale shape: the full-data window must be keyed by (source, chunk),
+    never by source alone — a hot source is spread over its chunks. The
+    subtotal join must be a broadcast."""
+    from cflog2otel_spark.operators.tokens import (
+        pack_sequences,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(tokenize_documents(docs), budget=64)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "_pack_chunk" in plan  # chunk key present in the window spec
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no window partitioned by source alone: every Window spec that
+    # mentions the source column also mentions the chunk key
+    for line in plan.splitlines():
+        if "Window" in line and "source" in line:
+            assert "_pack_chunk" in line, line
+
+
+def test_bigram_expr_edges(spark):
+    from cflog2otel_spark.operators.tokens import bigram_expr
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [5]), (2, [5, 7]), (3, [1, 2, 3])],
+        "id long, tokens array<int>",
+    )
+    rows = {
+        r["id"]: r["b"]
+        for r in df.select("id", bigram_expr("tokens").alias("b")).collect()
+    }
+    assert rows[0] == [] and rows[1] == []
+    assert rows[2] == [5 * 65536 + 7]
+    assert rows[3] == [1 * 65536 + 2, 2 * 65536 + 3]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # left events: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=30,
+    ),
+    st.lists(  # right events: (key, ts) — deduped below
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=30,
+    ),
+)
+def test_asof_join_matches_reference(spark, left_rows, right_rows):
+    """Backward-inclusive as-of: for each left row the right row with the
+    greatest ts <= left ts on the same key; nulls when none exists."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    right_dedup = {}
+    for i, (k, ts) in enumerate(right_rows):
+        right_dedup[(k, ts)] = i  # last wins: unique (key, ts)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)] or [(0, -1, 0)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, ts) for (k, ts), rid in right_dedup.items()] or [(0, -1, 0)],
+        "rid long, k long, ts long",
+    )
+    got = {
+        r["lid"]: (r["ts_right"], r["rid_right"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"],
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left_rows or [(-1, 0)]):
+        candidates = [
+            (rts, rid)
+            for (rk, rts), rid in right_dedup.items()
+            if rk == k and rts <= ts
+        ]
+        if not (left_rows or right_rows):
+            continue
+        want = max(candidates) if candidates else (None, None)
+        assert got[i] == want, (i, got[i], want, candidates)
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """Scale shape: the as-of join plans as union + ONE window shuffle on
+    the key — no BroadcastNestedLoopJoin / CartesianProduct (what a naive
+    inequality join would produce)."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    j = asof_join(left, right, on="user_id", right_cols=["view_id"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert plan.count("Window") == 1
