@@ -95,6 +95,25 @@ def ensure_corpus(spark) -> str:
     return CORPUS_PATH
 
 
+def wait_for_idle(max_wait: float, threshold: float = 2.0) -> float:
+    """Block until the 1-minute load average drops below `threshold` (the
+    same gate scripts/scaling_run.py uses — host-VM neighbor steal put a
+    27-51% spread on the flagship in rounds 3-4 while the idle-gated
+    scaling number stayed stable). Bounded: gives up after `max_wait`
+    seconds and lets the run proceed under load rather than starving the
+    caller's timeout. Returns seconds spent waiting."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+        if load1 < threshold:
+            break
+        print(f"[bench] waiting for idle (load {load1:.1f})",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
@@ -102,6 +121,11 @@ def main() -> None:
 
     def progress(msg: str) -> None:
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    # Idle gate (VERDICT r4 #2): don't start timing into leftover load.
+    idle_wait = wait_for_idle(float(os.environ.get("BENCH_IDLE_MAX_WAIT", "150")))
+    if idle_wait:
+        extras["idle_gate_wait_sec"] = idle_wait
 
     # Global wall budget: under heavy host-VM load every entry stretches
     # 3-5x and the suite would outlive the caller's timeout. Past the
@@ -167,6 +191,10 @@ def main() -> None:
     timings["pipeline_multi_metric"] = round(flag, 3)
     extras["flagship_runs"] = runs
     extras["flagship_cold_sec"] = runs[0]
+    # min is the steal-robust statistic (the fastest warm run is the one
+    # least perturbed by neighbor load); report it alongside the median
+    extras["flagship_min_sec"] = min(warm)
+    extras["seq_per_sec_min"] = round(n_rows / min(warm), 1)
     extras["flagship_spread_pct"] = round(
         100.0 * (max(warm) - min(warm)) / flag, 1
     )

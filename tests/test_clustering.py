@@ -224,3 +224,62 @@ def test_sessionize_random_streams_property(spark):
             for r in session_stats(ev, gap_seconds=GAP).collect()
         }
         assert got == py_sessions(rows), f"seed {seed}"
+
+
+def test_two_phase_matches_union_find_random_graphs(spark):
+    """Two-phase (large-star/small-star) vs the union-find oracle AND vs
+    label-prop on random graphs — identical labeling from both algorithms."""
+    import random
+
+    from cflog2otel_spark.operators.clustering import connected_components
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(5, 40)
+        m = rng.randint(0, n * 2)
+        ids = list(range(n))
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        pairs = (
+            spark.createDataFrame(edges, ["a", "b"])
+            if edges
+            else spark.createDataFrame([], "a long, b long")
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                nodes, pairs, max_iter=50, algorithm="two-phase"
+            ).collect()
+        }
+        release_persisted()
+        assert got == _cc_python(ids, edges), f"seed {seed}"
+
+
+def test_two_phase_adversarial_chain_few_rounds(spark):
+    """A 64-hop path is label-prop's worst case (~63 rounds); two-phase must
+    close it inside 10 rounds (O(log n)) and still label every node 0."""
+    from cflog2otel_spark.operators.clustering import connected_components
+    from cflog2otel_spark.operators.dedup import release_persisted
+
+    n = 65
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    got = connected_components(nodes, pairs, max_iter=10, algorithm="two-phase")
+    assert got.filter(F.col("component") == 0).count() == n
+    release_persisted()
+
+
+def test_two_phase_empty_edges_and_unknown_algorithm(spark):
+    from cflog2otel_spark.operators.clustering import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    empty = spark.createDataFrame([], "a long, b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, empty, algorithm="two-phase").collect()
+    }
+    assert got == {i: i for i in range(4)}
+    with pytest.raises(ValueError):
+        connected_components(nodes, empty, algorithm="bogus")
