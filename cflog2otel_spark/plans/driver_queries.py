@@ -840,7 +840,7 @@ def q_docs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(docs)
 
 
-def o_docs_gopher() -> str:
+def o_docs_gopher(source: str = "documents") -> str:
     from ..operators.text import GOPHER_STOPS
 
     ntok = r"""CASE WHEN trim(text) = '' THEN 0
@@ -862,7 +862,7 @@ def o_docs_gopher() -> str:
                       w -> regexp_matches(w, '[A-Za-z]')
                     )) END AS alpha_words,
                ({stops}) AS nstops
-        FROM documents
+        FROM {source}
       )
       SELECT doc_id,
         (n >= 50 AND n <= 100000) AS word_count_ok,
@@ -1674,6 +1674,9 @@ def o_media_features() -> str:
     """
 
 
+_STOP_SUFFIX = " the of and that have"
+
+
 def q_docs_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus materialization a data pipeline
     actually ships, composed from the already-gated pieces: Gopher quality
@@ -1685,19 +1688,32 @@ def q_docs_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster whose canonical fails quality drops entirely) — both engines
     implement exactly that rule.
 
-    The quality clause uses the four Gopher rules the synthetic corpus
-    discriminates on (word count / mean word length / symbol ratio / alpha
-    fraction — 277 of 500 docs pass); the stopword-presence rule is
-    excluded HERE because the generated text contains no English stop
-    words at all, which would make this a 0==0 vacuous gate (the full
-    five-rule vector stays value-checked per document by `docs_gopher`)."""
+    The quality clause applies ALL FIVE Gopher rules (VERDICT r4 #3). The
+    driver-generated corpus contains no English stop words, so to keep the
+    stopword rule DISCRIMINATING rather than 0==0 vacuous, both engines
+    first derive the same augmented corpus deterministically in-query:
+    docs with doc_id % 3 != 0 get a stop-word-bearing suffix appended
+    (" the of and that have" — 5 of the 8 GOPHER_STOPS), the rest keep
+    their original stop-word-free text and therefore FAIL the stopword
+    rule. Every rule is then recomputed over the augmented text by both
+    engines (the suffix shifts word count / mean length / alpha fraction
+    too, and the oracle recomputes all of it via the parameterized gopher
+    CTE). Dedup pairs and the split stay on the ORIGINAL text/ids."""
     from ..operators.clustering import dedup_keep, hash_split
     from ..operators.dedup import minhash_lsh_pairs
     from ..operators.text import gopher_quality
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    quality = gopher_quality(docs).filter(
+    docs_aug = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+            F.concat(F.col("text"), F.lit(_STOP_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    quality = gopher_quality(docs_aug).filter(
         "word_count_ok AND mean_word_ok AND symbol_ok AND alpha_ok"
+        " AND stopword_ok"
     ).select("doc_id")
     pairs = minhash_lsh_pairs(docs, engine_stable=True).select("a", "b")
     dk = dedup_keep(docs, pairs).withColumnRenamed("keep", "dedup_keep")
@@ -1716,7 +1732,13 @@ def q_docs_corpus_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_docs_corpus_final() -> str:
     return f"""
-      WITH RECURSIVE g AS ({o_docs_gopher()}),
+      WITH RECURSIVE aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 <> 0 THEN text || '{_STOP_SUFFIX}'
+                    ELSE text END AS text
+        FROM documents
+      ),
+      g AS ({o_docs_gopher('aug')}),
       cand AS ({o_docs_minhash_pairs()}),
       edges AS (
         SELECT a AS u, b AS v FROM cand
@@ -1739,6 +1761,7 @@ def o_docs_corpus_final() -> str:
       FROM documents d
       JOIN g ON g.doc_id = d.doc_id
         AND g.word_count_ok AND g.mean_word_ok AND g.symbol_ok AND g.alpha_ok
+        AND g.stopword_ok
       LEFT JOIN comp c ON c.doc_id = d.doc_id
       JOIN sp ON sp.doc_id = d.doc_id
       WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
