@@ -161,6 +161,88 @@ def pack_sequences(
     )
 
 
+def sequence_dedup(
+    tok: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Exact dedup over token SEQUENCES (the tokens-axis twin of
+    dedup.exact_dedup on text): (id, group_id, keep) where group_id is the
+    minimum id among byte-identical token arrays and keep flags the
+    canonical member.
+
+    Digest-first at scale: rows shuffle as (sha256(array_join(tokens)),
+    id) — a 64-byte key + id, never the token payload — one groupBy-min
+    on the digest plus one digest-keyed join back. array_join over int
+    ids with a ',' separator is an injective encoding, so digest equality
+    is sequence equality (modulo sha256 collisions, the industry-standard
+    exact-dedup assumption)."""
+    digest = F.sha2(
+        F.array_join(
+            F.transform(F.col(tokens_col), lambda t: t.cast("string")), ","
+        ),
+        256,
+    )
+    keyed = tok.select(F.col(id_col), digest.alias("_seq_digest"))
+    groups = keyed.groupBy("_seq_digest").agg(F.min(id_col).alias("group_id"))
+    return (
+        keyed.join(groups, "_seq_digest")
+        .select(
+            id_col,
+            "group_id",
+            (F.col(id_col) == F.col("group_id")).alias("keep"),
+        )
+    )
+
+
+def token_ngram_contamination(
+    tok: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Benchmark decontamination on TOKEN ids (the GPT-3 appendix-C recipe:
+    drop a training doc when any token 13-gram also appears in an eval
+    benchmark) — the tokens-axis twin of dedup.ngram_contamination.
+
+    Per doc: distinct token n-gram hashes via one pass of
+    `transform(sequence(...), i -> xxhash64(slice(tokens, i, n)))` (JVM
+    codegen; O(n_tok * n) work inherent to overlapping grams); the
+    benchmark's distinct grams are collected corpus-wide and BROADCAST
+    (eval suites are tiny next to a training corpus), so flagging is a
+    map-side broadcast join — no full-data shuffle. Returns
+    (id, n_hit_grams, contaminated)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def gram_rows(df: DataFrame) -> DataFrame:
+        g = F.expr(
+            f"CASE WHEN size({tokens_col}) < {n} THEN array() "
+            f"ELSE array_distinct(transform("
+            f"sequence(1, size({tokens_col}) - {n - 1}), "
+            f"i -> xxhash64(slice({tokens_col}, i, {n})))) END"
+        )
+        return df.select(F.col(id_col), F.explode(g).alias("_gram"))
+
+    bench_grams = gram_rows(bench).select("_gram").distinct()
+    hits = (
+        gram_rows(tok)
+        .join(F.broadcast(bench_grams), "_gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        tok.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def vocab_frequencies(tok: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """(token, freq) across the corpus: explode + one count shuffle keyed
     by token id; partial aggregation combines map-side so the shuffle

@@ -2005,6 +2005,69 @@ def o_events_attribution() -> str:
     """
 
 
+def q_tok_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over token SEQUENCES (tokens.py:sequence_dedup):
+    digest-first — rows shuffle as (sha256 digest, id), never the token
+    payload. The oracle groups by the raw joined-token string, so the gate
+    proves digest-grouping equals sequence-equality grouping."""
+    from ..operators.tokens import sequence_dedup, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sequence_dedup(tokenize_documents(docs))
+
+
+def o_tok_seq_dedup() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      k AS (SELECT doc_id, array_to_string(tokens, ',') AS key FROM t),
+      g AS (SELECT key, min(doc_id) AS group_id FROM k GROUP BY key)
+      SELECT k.doc_id, g.group_id, k.doc_id = g.group_id AS keep
+      FROM k JOIN g USING (key)
+    """
+
+
+def q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-13-gram benchmark decontamination (the GPT-3 appendix-C recipe
+    on token ids; tokens.py:token_ngram_contamination). Benchmark = the
+    deterministic doc_id % 50 == 0 subset, same convention as the text-level
+    docs_contamination gate. Spark joins xxhash64 gram hashes against a
+    broadcast benchmark set; the oracle joins the raw gram LISTS — the gate
+    proves hash-join flagging equals list-equality flagging."""
+    from ..operators.tokens import token_ngram_contamination, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = tokenize_documents(docs)
+    return token_ngram_contamination(
+        tok, tok.filter(F.col("doc_id") % 50 == 0), n=13
+    )
+
+
+def o_tok_contamination() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tokens) >= 13 THEN list_distinct(
+                 list_transform(range(1, len(tokens) - 11),
+                                i -> array_to_string(
+                                  list_slice(tokens, i, i + 12), ','))
+               ) ELSE [] END s
+        FROM t
+      ),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      grams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      agg AS (
+        SELECT grams.doc_id, count(*) AS n_hit
+        FROM grams JOIN bench ON grams.g = bench.g
+        GROUP BY grams.doc_id
+      )
+      SELECT t.doc_id,
+             coalesce(a.n_hit, 0) AS n_hit_grams,
+             coalesce(a.n_hit, 0) > 0 AS contaminated
+      FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -2059,5 +2122,7 @@ QUERIES = {
     "tok_packing": (q_tok_packing, o_tok_packing),
     "tok_vocab_topk": (q_tok_vocab_topk, o_tok_vocab_topk),
     "tok_bigram_topk": (q_tok_bigram_topk, o_tok_bigram_topk),
+    "tok_seq_dedup": (q_tok_seq_dedup, o_tok_seq_dedup),
+    "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
 }

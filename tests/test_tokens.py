@@ -211,3 +211,78 @@ def test_asof_join_plan_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "Union" in plan
     assert plan.count("Window") == 1
+
+
+def test_sequence_dedup_groups_identical_token_arrays(spark):
+    """Planted exact-duplicate sequences collapse to min-id groups; unique
+    sequences keep themselves; empty sequences form one group."""
+    from cflog2otel_spark.operators.tokens import sequence_dedup
+
+    tok = spark.createDataFrame(
+        [
+            (0, [1, 2, 3]),
+            (1, [1, 2, 3]),     # dup of 0
+            (2, [1, 2]),        # prefix is NOT a dup
+            (3, []),
+            (4, []),            # dup of 3
+            (5, [1, 2, 3]),     # dup of 0
+            (6, [3, 2, 1]),     # order matters
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {r["doc_id"]: r for r in sequence_dedup(tok).collect()}
+    assert {i: r["group_id"] for i, r in rows.items()} == {
+        0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 0, 6: 6,
+    }
+    assert {i for i, r in rows.items() if r["keep"]} == {0, 2, 3, 6}
+
+
+def test_token_contamination_matches_bruteforce(spark):
+    """Hand-checkable n=3 case + a brute-force python recount of distinct
+    matched grams per doc."""
+    from cflog2otel_spark.operators.tokens import token_ngram_contamination
+
+    seqs = {
+        0: [1, 2, 3, 4, 5],        # benchmark doc
+        1: [9, 1, 2, 3, 8],        # shares gram (1,2,3)
+        2: [3, 4, 5],              # shares gram (3,4,5)
+        3: [5, 4, 3, 2, 1],        # reversed: no shared gram
+        4: [1, 2],                 # shorter than n: never contaminated
+        5: [1, 2, 3, 4, 5],        # identical to benchmark: all 3 grams hit
+    }
+    tok = spark.createDataFrame(
+        [(i, s) for i, s in seqs.items()], "doc_id long, tokens array<int>"
+    )
+    bench = tok.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in token_ngram_contamination(tok, bench, n=3).collect()
+    }
+
+    def grams(s, n=3):
+        return {tuple(s[i : i + n]) for i in range(len(s) - n + 1)}
+
+    bg = grams(seqs[0])
+    expect = {
+        i: (len(grams(s) & bg), len(grams(s) & bg) > 0) for i, s in seqs.items()
+    }
+    assert got == expect
+    with pytest.raises(ValueError):
+        token_ngram_contamination(tok, bench, n=0)
+
+
+def test_token_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus via a broadcast join —
+    a shuffled join on the gram key would move the full corpus gram stream."""
+    from cflog2otel_spark.operators.tokens import token_ngram_contamination
+
+    tok = spark.createDataFrame(
+        [(i, list(range(i, i + 20))) for i in range(40)],
+        "doc_id long, tokens array<int>",
+    )
+    plan = token_ngram_contamination(
+        tok, tok.filter(F.col("doc_id") % 7 == 0), n=13
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
