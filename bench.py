@@ -240,6 +240,7 @@ def main() -> None:
         "docs_contamination", # broadcast benchmark-gram decontamination join
         "docs_dedup_clusters",  # LSH pairs -> connected components -> keep
         "tok_packing",        # distributed prefix-scan sequence packing
+        "tok_seq_dedup",      # digest-first exact sequence dedup
         "tok_vocab_topk",     # exploded token frequency, one combined shuffle
         "events_attribution", # as-of join (union-merge window, one shuffle)
     ]:

@@ -26,6 +26,11 @@ token arrays themselves:
   `zip_with(slice, slice)` — no `sequence(1, n-1)` (Spark's `sequence`
   silently DESCENDS for n < 2) and no `element_at` (ANSI throws
   out-of-bounds).
+- `sequence_dedup` — exact dedup over token sequences, digest-first
+  (sha256 of an injective join): the shuffle never carries the payload.
+- `token_ngram_contamination` — GPT-3-style 13-gram benchmark
+  decontamination on token ids: gram hashes vs a broadcast benchmark
+  set, map-side only.
 
 All hot-path logic is native pyspark.sql.functions / SQL expressions
 (JVM codegen); the only driver-side step is the tiny per-(partition,
