@@ -114,6 +114,41 @@ def wait_for_idle(max_wait: float, threshold: float = 2.0) -> float:
     return round(time.time() - t0, 1)
 
 
+def steal_fraction(sample_sec: float = 1.0) -> float:
+    """Fraction of CPU time stolen by the hypervisor over a short sample
+    (Δsteal / Δtotal from /proc/stat). Unlike loadavg, this discriminates
+    EXTERNAL neighbor steal from our own just-finished JVM's load decay."""
+
+    def read():
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+    s0, t0 = read()
+    time.sleep(sample_sec)
+    s1, t1 = read()
+    return (s1 - s0) / max(t1 - t0, 1)
+
+
+def wait_for_low_steal(max_wait: float, threshold: float = 0.02) -> float:
+    """Block until hypervisor steal drops below `threshold` (bounded).
+    Used BETWEEN timed runs, where a loadavg gate would false-positive on
+    our own run's decaying load. The threshold is strict because this box
+    advertises 32 vCPUs but delivers ~2.4 effective cores — 5% steal of 32
+    vCPUs measured as a 3x flagship slowdown. Returns seconds spent
+    waiting."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        frac = steal_fraction()
+        if frac < threshold:
+            break
+        print(f"[bench] waiting out steal burst ({frac:.0%})",
+              file=sys.stderr, flush=True)
+        time.sleep(8)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
@@ -170,6 +205,11 @@ def main() -> None:
     FLAGSHIP_BUDGET_SEC = float(os.environ.get("BENCH_FLAGSHIP_BUDGET", "300"))
     runs: list[float] = []
     for i in range(4):
+        # short per-run steal gate: host-steal bursts are minute-scale
+        # here; let one decay rather than time the next run into it (the
+        # r4->r5 27-51% flagship spreads were mid-suite bursts, not code)
+        if i > 0:
+            wait_for_low_steal(float(os.environ.get("BENCH_RUN_IDLE_WAIT", "90")))
         sink_dir = tempfile.mkdtemp(prefix="bench_sinks_")
         t0 = time.time()
         result = run_pipeline(spark, cfg, corpus, keep_payload=False)
