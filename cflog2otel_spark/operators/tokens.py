@@ -166,6 +166,74 @@ def pack_sequences(
     )
 
 
+def pack_tokens(
+    tok: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    tokens_col: str = "tokens",
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences: (source, seq_id,
+    tokens array<int>) where every sequence holds exactly `budget` tokens
+    of the source's concatenated stream (the final sequence per source may
+    be shorter).
+
+    Built on `pack_sequences` placement. The naive materialization
+    explodes one row PER TOKEN (a 2048x row blow-up before the shuffle);
+    instead each doc is SLICED at its sequence boundaries — a doc overlaps
+    at most ceil(n_tok/budget)+1 sequences, so the explode factor is
+    ~1 + n_tok/budget — and the shuffle carries each token exactly once,
+    inside (seq_id, fragment) rows. Fragments reassemble per (source,
+    seq_id) by sorting on the doc's stream offset and flattening: one
+    token-payload shuffle keyed by (source, seq_id), which is also the
+    partitioning a training loader wants the output in."""
+    placed = pack_sequences(
+        tok,
+        budget=budget,
+        source_col=source_col,
+        order_col=order_col,
+        n_tok_col=n_tok_col,
+        chunk_rows=chunk_rows,
+    ).filter(F.col(n_tok_col) > 0)
+    frags = placed.select(
+        source_col,
+        "tok_offset",
+        F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias(
+            "seq_id"
+        ),
+        F.col(tokens_col),
+        F.col(n_tok_col).cast("long").alias("_n"),
+    ).select(
+        source_col,
+        "seq_id",
+        "tok_offset",
+        # doc-relative [start, end) of the part of this doc that lands in
+        # sequence seq_id (1-based slice)
+        F.expr(
+            f"slice(tokens, CAST(greatest(0L, seq_id * {budget} - tok_offset)"
+            f" AS INT) + 1, "
+            f"CAST(least(_n, (seq_id + 1) * {budget} - tok_offset) - "
+            f"greatest(0L, seq_id * {budget} - tok_offset) AS INT))"
+        ).alias("frag"),
+    )
+    return (
+        frags.groupBy(source_col, "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_offset", "frag"))
+                    ),
+                    lambda s: s["frag"],
+                )
+            ).alias("tokens")
+        )
+        .select(source_col, "seq_id", "tokens")
+    )
+
+
 def sequence_dedup(
     tok: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

@@ -2005,6 +2005,48 @@ def o_events_attribution() -> str:
     """
 
 
+def q_tok_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing (tokens.py:pack_tokens): the assembled
+    budget-64 training sequences, verified TOKEN-BY-TOKEN in exploded form
+    (source, seq_id, pos, token) — covering fragment slicing, shuffle
+    reassembly ORDER, and chunk-boundary stitching (chunk_rows=32 forces
+    boundary crossings at sf0.01). The oracle recomputes the same mapping
+    from a plain per-source prefix sum + zipped unnest."""
+    from ..operators.tokens import pack_tokens, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_tokens(tokenize_documents(docs), budget=64, chunk_rows=32)
+    return packed.select(
+        "source",
+        "seq_id",
+        F.posexplode("tokens").alias("pos", "token"),
+    )
+
+
+def o_tok_pack_emit() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      o AS (
+        SELECT doc_id, source, tokens,
+               coalesce(sum(len(tokens)) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t
+      ),
+      ex AS (
+        SELECT source, off,
+               unnest(range(1, len(tokens) + 1)) AS i,
+               unnest(tokens) AS token
+        FROM o
+      )
+      SELECT source,
+             CAST((off + i - 1) // 64 AS BIGINT) AS seq_id,
+             CAST((off + i - 1) % 64 AS INT) AS pos,
+             token
+      FROM ex
+    """
+
+
 def q_tok_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over token SEQUENCES (tokens.py:sequence_dedup):
     digest-first — rows shuffle as (sha256 digest, id), never the token
@@ -2122,6 +2164,7 @@ QUERIES = {
     "tok_packing": (q_tok_packing, o_tok_packing),
     "tok_vocab_topk": (q_tok_vocab_topk, o_tok_vocab_topk),
     "tok_bigram_topk": (q_tok_bigram_topk, o_tok_bigram_topk),
+    "tok_pack_emit": (q_tok_pack_emit, o_tok_pack_emit),
     "tok_seq_dedup": (q_tok_seq_dedup, o_tok_seq_dedup),
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),

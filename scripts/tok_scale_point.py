@@ -103,6 +103,23 @@ def main() -> None:
         vocab_runs.append(round(time.time() - t0, 3))
         log(f"vocab run {i + 1}: {vocab_runs[-1]}s" + (" (cold)" if i == 0 else ""))
 
+    # full materialization: the token-payload shuffle (every token moves
+    # once, keyed by (source, seq_id)) — the op a training loader consumes
+    from cflog2otel_spark.operators.tokens import pack_tokens
+
+    emit_runs: list[float] = []
+    n_seqs = 0
+    for i in range(1 + WARM_RUNS):
+        t0 = time.time()
+        packed = pack_tokens(tok, budget=BUDGET)
+        if i == 0:
+            n_seqs = packed.count()
+        else:
+            packed.write.format("noop").mode("overwrite").save()
+        emit_runs.append(round(time.time() - t0, 3))
+        log(f"pack_emit run {i + 1}: {emit_runs[-1]}s"
+            + (" (cold)" if i == 0 else ""))
+
     # full-scale invariant verification (aggregate-only, no row collect)
     t0 = time.time()
     packed = pack_sequences(tok, budget=BUDGET)
@@ -131,6 +148,10 @@ def main() -> None:
     assert total_tokens == expected_tokens, (
         f"token count {total_tokens} != expected {expected_tokens}"
     )
+    expected_seqs = sum(-(-r["tok_sum"] // BUDGET) for r in per_src)
+    assert n_seqs == expected_seqs, (
+        f"sequence count {n_seqs} != ceil-sum {expected_seqs}"
+    )
     verify_sec = round(time.time() - t0, 3)
     log(f"invariants verified in {verify_sec}s")
 
@@ -146,6 +167,12 @@ def main() -> None:
                 "pack_docs_per_sec": round(N / pm, 1),
                 "vocab_sec": vm,
                 "vocab_runs": vocab_runs,
+                "pack_emit_sec": statistics.median(emit_runs[1:]),
+                "pack_emit_runs": emit_runs,
+                "pack_emit_tok_per_sec": round(
+                    total_tokens / statistics.median(emit_runs[1:]), 1
+                ),
+                "n_sequences": n_seqs,
                 "verify_sec": verify_sec,
                 "rows_per_source": src_rows,
                 "cpus": int(CPUS),

@@ -286,3 +286,44 @@ def test_token_contamination_plan_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_pack_tokens_matches_python_reference(spark, docs_spec, budget):
+    """pack_tokens output must equal the logical concat-then-chunk of each
+    source's token stream, for random doc sizes and budgets (boundary docs
+    spanning several sequences, empty docs, budget=1)."""
+    from cflog2otel_spark.operators.tokens import pack_tokens
+
+    rows = [
+        (i, src, [(i * 131 + j) % 997 for j in range(n)], n)
+        for i, (src, n) in enumerate(docs_spec)
+    ]
+    tok = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<int>, n_tok int"
+    )
+    got = {
+        (r["source"], r["seq_id"]): r["tokens"]
+        for r in pack_tokens(tok, budget=budget, chunk_rows=4).collect()
+    }
+
+    expect = {}
+    for src in sorted({s for _, s, _, _ in rows}):
+        stream = []
+        for i, s, toks, _ in sorted(rows):
+            if s == src:
+                stream.extend(toks)
+        for q in range(0, len(stream), budget):
+            expect[(src, q // budget)] = stream[q : q + budget]
+    assert got == expect
