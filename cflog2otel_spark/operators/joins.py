@@ -39,14 +39,27 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For every left row: the right row with the greatest `right_ts` <=
-    `left_ts` sharing the `on` key (backward inclusive as-of). Left rows
-    with no prior right row keep nulls (left-join semantics).
+    """For every left row: the nearest right row sharing the `on` key —
+    `direction="backward"` (default) takes the greatest `right_ts` <=
+    `left_ts`, `direction="forward"` the smallest `right_ts` >= `left_ts`
+    (both inclusive, the DuckDB `ASOF JOIN >=` / `<=` contracts). Left
+    rows with no match keep nulls (left-join semantics).
+
+    `tolerance` (seconds; timestamps compare on their epoch value, plain
+    numerics on their value) nulls out matches farther than the bound —
+    the pandas `merge_asof(tolerance=...)` contract — applied as a
+    post-window projection, so it costs no extra shuffle.
 
     Returns all left columns plus `<right_ts><suffix>` and each requested
     right column as `<col><suffix>`.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     rcols = [c for c in (right_cols or right.columns) if c not in (on, right_ts)]
     tagged_r = right.select(
         F.col(on),
@@ -67,9 +80,15 @@ def asof_join(
         ],
         *[F.col(c).alias(f"_asof_l_{c}") for c in left.columns],
     )
+    # backward: ascending ts, right(0) before left(1) at ties -> last
+    # carried right is the greatest ts <= l.ts. forward: DESCENDING ts with
+    # the same tie order -> last carried right is the smallest ts >= l.ts.
+    ts_order = (
+        F.col("_asof_ts") if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy(ts_order, "_asof_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
@@ -84,7 +103,36 @@ def asof_join(
     out_left = [
         F.col(f"_asof_l_{c}").alias(c) for c in left.columns if c != on
     ]
-    return carried.filter(F.col("_asof_side") == 1).select(
+    matched = carried.filter(F.col("_asof_side") == 1)
+    if tolerance is not None:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        is_ts = isinstance(
+            right.schema[right_ts].dataType, (TimestampType, TimestampNTZType)
+        )
+
+        def _epoch(c):
+            # TIMESTAMP_NTZ has no direct numeric cast; route through
+            # TIMESTAMP (both sides shift by the same session offset, so
+            # the difference is invariant)
+            return (
+                c.cast("timestamp").cast("double") if is_ts else c.cast("double")
+            )
+
+        within = (
+            F.abs(_epoch(F.col("_asof_ts")) - _epoch(F.col(f"_asof_c_{right_ts}")))
+            <= F.lit(float(tolerance))
+        )
+        matched = matched.select(
+            *[c for c in matched.columns if not c.startswith("_asof_c_")],
+            *[
+                F.when(within, F.col(f"_asof_c_{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"_asof_c_{c}")
+                for c in [right_ts, *rcols]
+            ],
+        )
+    return matched.select(
         F.col(on),
         *out_left,
         *[F.col(f"_asof_c_{c}").alias(f"{c}{suffix}") for c in [right_ts, *rcols]],

@@ -2110,6 +2110,63 @@ def o_tok_contamination() -> str:
     """
 
 
+def q_events_attribution_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (joins.py:asof_join
+    direction='forward', tolerance=3600): for every view event, the next
+    purchase by the same user at-or-after it within one hour —
+    time-to-convert attribution. Oracle = DuckDB's native `ASOF LEFT JOIN
+    ... ON v.ts <= p.ts` with the tolerance applied as the same post-CASE
+    both engines use. Same union-merge single-shuffle plan as the backward
+    gate, just descending window order."""
+    from ..operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    j = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id"],
+        direction="forward",
+        tolerance=3600.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_id_right").alias("purchase_id"),
+        (F.unix_timestamp("ts_right") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("secs_to_convert"),
+    )
+
+
+def o_events_attribution_fwd() -> str:
+    return """
+      WITH v AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view'),
+      p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT v.event_id, v.user_id, v.ts,
+             CASE WHEN date_diff('second', v.ts, p.ts) <= 3600
+                  THEN p.purchase_id END AS purchase_id,
+             CASE WHEN date_diff('second', v.ts, p.ts) <= 3600
+                  THEN CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+                  END AS secs_to_convert
+      FROM v ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    """
+
+
 QUERIES = {
     "cf_count_by_status": (q_cf_count_by_status, o_cf_count_by_status),
     "cf_count_5xx": (q_cf_count_5xx, o_cf_count_5xx),
@@ -2168,4 +2225,5 @@ QUERIES = {
     "tok_seq_dedup": (q_tok_seq_dedup, o_tok_seq_dedup),
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
+    "events_attribution_fwd": (q_events_attribution_fwd, o_events_attribution_fwd),
 }

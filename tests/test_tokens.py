@@ -327,3 +327,61 @@ def test_pack_tokens_matches_python_reference(spark, docs_spec, budget):
         for q in range(0, len(stream), budget):
             expect[(src, q // budget)] = stream[q : q + budget]
     assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=0, max_size=25,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+def test_asof_join_forward_and_tolerance(spark, left_rows, right_rows, tol):
+    """direction='forward' picks the smallest right ts >= left ts;
+    tolerance nulls matches farther than the bound — both verified against
+    a brute-force reference on random streams."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    right_dedup = {}
+    for i, (k, ts) in enumerate(right_rows):
+        right_dedup[(k, ts)] = i
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)] or [(0, -1, 0)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, ts) for (k, ts), rid in right_dedup.items()] or [(0, -1, 0)],
+        "rid long, k long, ts long",
+    )
+    got = {
+        r["lid"]: (r["ts_right"], r["rid_right"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="forward", tolerance=float(tol),
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left_rows or [(-1, 0)]):
+        candidates = [
+            (rts, rid)
+            for (rk, rts), rid in right_dedup.items()
+            if rk == k and rts >= ts and rts - ts <= tol
+        ]
+        if not (left_rows or right_rows):
+            continue
+        want = min(candidates) if candidates else (None, None)
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_asof_join_rejects_bad_args(spark):
+    from cflog2otel_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(0, 0, 0)], "lid long, k long, ts long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="k", direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="k", tolerance=-1.0)
