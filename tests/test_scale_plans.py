@@ -145,3 +145,39 @@ def test_round4_queries_are_scale_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_persisted()
+
+
+def test_round5_token_queries_are_scale_shaped(spark):
+    """Round-5 token-payload registrations: no cross joins, no per-row
+    Python anywhere; the exact-dedup shuffle carries digests (not token
+    payloads); pack materialization has exactly the two value shuffles its
+    design claims (chunk-scan window + (source, seq_id) reassembly) plus
+    the broadcast of the tiny subtotal table."""
+    from cflog2otel_spark.plans.driver_queries import (
+        q_events_attribution_fwd,
+        q_tok_contamination,
+        q_tok_pack_emit,
+        q_tok_seq_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    for q in (q_tok_seq_dedup, q_tok_contamination, q_tok_pack_emit,
+              q_events_attribution_fwd):
+        plan = _plan(q(spark, sf))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+
+    dedup_plan = _plan(q_tok_seq_dedup(spark, sf))
+    # the groupBy/join key is the sha256 digest column, never the array
+    assert "_seq_digest" in dedup_plan
+
+    cont_plan = _plan(q_tok_contamination(spark, sf))
+    # benchmark grams reach the corpus via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in cont_plan
+
+    fwd_plan = _plan(q_events_attribution_fwd(spark, sf))
+    # forward as-of is still the single-window merge, not a range join
+    assert fwd_plan.count("Window") >= 1
