@@ -170,9 +170,10 @@ def main() -> None:
     TOTAL_BUDGET_SEC = float(os.environ.get("BENCH_TOTAL_BUDGET", "480"))
     bench_start = time.time()
     skipped: list[str] = []
+    gate_waited = [0.0]  # steal-gate waits don't count against the budget
 
     def budget_left() -> bool:
-        return time.time() - bench_start < TOTAL_BUDGET_SEC
+        return time.time() - bench_start - gate_waited[0] < TOTAL_BUDGET_SEC
 
     def skip(name: str) -> None:
         skipped.append(name)
@@ -209,7 +210,9 @@ def main() -> None:
         # here; let one decay rather than time the next run into it (the
         # r4->r5 27-51% flagship spreads were mid-suite bursts, not code)
         if i > 0:
-            wait_for_low_steal(float(os.environ.get("BENCH_RUN_IDLE_WAIT", "90")))
+            gate_waited[0] += wait_for_low_steal(
+                float(os.environ.get("BENCH_RUN_IDLE_WAIT", "90"))
+            )
         sink_dir = tempfile.mkdtemp(prefix="bench_sinks_")
         t0 = time.time()
         result = run_pipeline(spark, cfg, corpus, keep_payload=False)
