@@ -234,6 +234,94 @@ def pack_tokens(
     )
 
 
+def take_token_budget(
+    tok: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    """Data-mixing curation: per source, keep documents in `order_col`
+    order until the source's TOKEN budget is reached ("take the first 30 B
+    tokens of source A, 10 B of B" — how a pretraining mix is actually
+    drawn). A doc is kept iff it STARTS inside its source's budget (the
+    boundary doc may overrun — the packing stage truncates; deterministic
+    and stable under corpus growth, since a doc's stream offset never
+    changes when later docs are appended).
+
+    Sources absent from `budgets` keep everything when `default_budget` is
+    None, else use the default. Built on the same distributed prefix scan
+    as `pack_sequences` (one bounded-window shuffle, skew-proof); the
+    budget lookup joins as a broadcast literal map. Output = input columns
+    + `tok_offset`.
+    """
+    placed = pack_sequences(
+        tok,
+        budget=1,  # placement only; seq columns dropped below
+        source_col=source_col,
+        order_col=order_col,
+        n_tok_col=n_tok_col,
+        chunk_rows=chunk_rows,
+    ).drop("seq_first", "seq_last", "pos_in_seq")
+    if budgets:
+        budget_expr = F.create_map(
+            *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+        )[F.col(source_col)]
+    else:
+        budget_expr = F.lit(None).cast("long")
+    if default_budget is not None:
+        budget_expr = F.coalesce(budget_expr, F.lit(int(default_budget)))
+    return placed.filter(
+        budget_expr.isNull() | (F.col("tok_offset") < budget_expr)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    hash60(id || salt) % denom < fraction * denom for its stratum's
+    fraction. Unlike `df.sample()` this is REPRODUCIBLE row-for-row across
+    runs, partitionings and engines (the SQL oracle replays the identical
+    hash), and a row's verdict never changes when the corpus grows — the
+    property an eval/holdout draw needs. Pure per-row arithmetic, no
+    shuffle; the per-stratum fraction resolves via a broadcast literal
+    map."""
+    from .dedup import hash60
+
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    if fractions:
+        frac_expr = F.coalesce(
+            F.create_map(
+                *[
+                    x
+                    for k, f in fractions.items()
+                    for x in (F.lit(k), F.lit(float(f)))
+                ]
+            )[F.col(stratum_col)],
+            F.lit(float(default_fraction)),
+        )
+    else:
+        frac_expr = F.lit(float(default_fraction))
+    h = F.pmod(
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    return df.filter(h < (frac_expr * denom).cast("long"))
+
+
 def sequence_dedup(
     tok: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:

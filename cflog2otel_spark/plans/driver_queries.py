@@ -2110,6 +2110,67 @@ def o_tok_contamination() -> str:
     """
 
 
+def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (tokens.py:stratified_sample):
+    per-source keep fractions resolved from a broadcast literal map,
+    verdict = hash60(id||salt) % 1e6 < fraction*1e6 — reproducible
+    row-for-row by the oracle (fractions are exact binary values so
+    truncate-vs-round cannot disagree across engines). No shuffle."""
+    from ..operators.tokens import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.125,
+    ).select("doc_id", "source")
+
+
+def o_docs_sample() -> str:
+    h = _H60.format(x="concat(CAST(doc_id AS VARCHAR), ':sample')")
+    return f"""
+      SELECT doc_id, source FROM documents
+      WHERE ({h}) % 1000000 < CAST(
+        (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.125 END) * 1000000
+        AS BIGINT)
+    """
+
+
+def q_tok_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing curation (tokens.py:take_token_budget): per source, the
+    documents whose stream offset starts inside that source's token budget
+    ("draw 200 tokens of src0, 500 of src1, 300 of everything else") —
+    computed with the same distributed chunk-keyed prefix scan as packing
+    (chunk_rows=32 forces chunk-boundary crossings at sf0.01). The oracle
+    replays the budget filter over a plain per-source prefix sum."""
+    from ..operators.tokens import take_token_budget, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = tokenize_documents(docs)
+    return take_token_budget(
+        tok, {"src0": 200, "src1": 500}, default_budget=300, chunk_rows=32
+    ).select("doc_id", "source", "n_tok", "tok_offset")
+
+
+def o_tok_budget_mix() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      o AS (
+        SELECT doc_id, source, CAST(len(tokens) AS INT) AS n_tok,
+               CAST(coalesce(sum(len(tokens)) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_offset
+        FROM t
+      )
+      SELECT doc_id, source, n_tok, tok_offset
+      FROM o
+      WHERE tok_offset < CASE source WHEN 'src0' THEN 200
+                                     WHEN 'src1' THEN 500 ELSE 300 END
+    """
+
+
 def q_events_attribution_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of with tolerance (joins.py:asof_join
     direction='forward', tolerance=3600): for every view event, the next
@@ -2226,4 +2287,6 @@ QUERIES = {
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
     "events_attribution_fwd": (q_events_attribution_fwd, o_events_attribution_fwd),
+    "docs_sample": (q_docs_sample, o_docs_sample),
+    "tok_budget_mix": (q_tok_budget_mix, o_tok_budget_mix),
 }

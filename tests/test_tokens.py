@@ -385,3 +385,66 @@ def test_asof_join_rejects_bad_args(spark):
         asof_join(df, df, on="k", direction="sideways")
     with pytest.raises(ValueError):
         asof_join(df, df, on="k", tolerance=-1.0)
+
+
+def test_stratified_sample_deterministic_and_validated(spark):
+    from cflog2otel_spark.operators.tokens import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(600)],
+        "doc_id long, source string",
+    )
+    picked = stratified_sample(
+        df, {"a": 1.0, "b": 0.5, "c": 0.0}, default_fraction=0.0
+    )
+    rows = picked.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("a", ())) == 200          # fraction 1.0: all
+    assert "c" not in by_src                        # fraction 0.0: none
+    assert 60 <= len(by_src.get("b", ())) <= 140    # ~half, hash-determined
+    # deterministic: the same call returns the identical id set
+    again = {r["doc_id"] for r in stratified_sample(
+        df, {"a": 1.0, "b": 0.5, "c": 0.0}, default_fraction=0.0).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # growing the corpus never flips an existing row's verdict
+    bigger = df.union(spark.createDataFrame(
+        [(i, "b") for i in range(600, 900)], "doc_id long, source string"))
+    grown = {r["doc_id"] for r in stratified_sample(
+        bigger, {"a": 1.0, "b": 0.5, "c": 0.0}, default_fraction=0.0).collect()}
+    assert {i for i in grown if i < 600} == again
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"a": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(df, {}, default_fraction=-0.1)
+
+
+def test_take_token_budget_matches_python_reference(spark):
+    from cflog2otel_spark.operators.tokens import take_token_budget
+
+    rows = [
+        (i, ["s0", "s1"][i % 2], (i * 7) % 13 + 1) for i in range(40)
+    ]
+    tok = spark.createDataFrame(
+        [(i, s, list(range(n)), n) for i, s, n in rows],
+        "doc_id long, source string, tokens array<int>, n_tok int",
+    )
+    budgets = {"s0": 30}
+    got = {
+        r["doc_id"]: r["tok_offset"]
+        for r in take_token_budget(
+            tok, budgets, default_budget=50, chunk_rows=8
+        ).collect()
+    }
+    offs, expect = {}, {}
+    for i, s, n in sorted(rows):
+        off = offs.get(s, 0)
+        if off < budgets.get(s, 50):
+            expect[i] = off
+        offs[s] = off + n
+    assert got == expect
+    # no budget for a source and no default -> keep everything there
+    all_s1 = take_token_budget(tok, {"s0": 0}).filter("source = 's1'").count()
+    assert all_s1 == sum(1 for _, s, _ in rows if s == "s1")
+    assert take_token_budget(tok, {"s0": 0}).filter("source = 's0'").count() == 0
