@@ -209,7 +209,9 @@ def main() -> None:
         # short per-run steal gate: host-steal bursts are minute-scale
         # here; let one decay rather than time the next run into it (the
         # r4->r5 27-51% flagship spreads were mid-suite bursts, not code)
-        if i > 0:
+        # total gate waiting is capped so a persistently-stolen box can't
+        # push the suite past the caller's wall timeout
+        if i > 0 and gate_waited[0] < 180:
             gate_waited[0] += wait_for_low_steal(
                 float(os.environ.get("BENCH_RUN_IDLE_WAIT", "90"))
             )
