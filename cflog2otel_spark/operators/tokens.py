@@ -166,6 +166,79 @@ def pack_sequences(
     )
 
 
+def bpe_merge_step(
+    tok: DataFrame,
+    pair: tuple[int, int],
+    new_id: int,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One BPE training round, applied corpus-wide: replace every greedy
+    left-to-right non-overlapping occurrence of adjacent pair (a, b) with
+    `new_id` (the byte-pair-encoding merge rule; `bigram_frequencies`
+    supplies the candidate scores, this applies the winning merge).
+
+    Pure per-row JVM codegen, no shuffle. Two code paths:
+      a != b — occurrences can never overlap (a match ending at i and one
+        starting at i would force a == b), so the rewrite is positional:
+        emit new_id where (t[i], t[i+1]) == (a, b), drop slot i+1 —
+        expressible as filter+transform, and reproducible by the SQL
+        oracle with the same two passes.
+      a == b — greedy non-overlap needs running state ([a,a,a] merges the
+        FIRST pair only); implemented as an aggregate fold carrying
+        (out, skip) — the general path, property-tested against a Python
+        reference.
+    Replaces `tokens` and `n_tok` in place; other columns pass through."""
+    a, b = int(pair[0]), int(pair[1])
+    m = int(new_id)
+    others = [c for c in tok.columns if c not in (tokens_col, "n_tok")]
+    if a != b:
+        # slot i survives unless it is the b of a match; a-of-match slots
+        # rewrite to new_id. get() is the ANSI-safe null-on-out-of-range
+        # index (element_at/[] would throw at the edges).
+        merged = F.expr(
+            f"""filter(
+                  transform({tokens_col}, (t, i) ->
+                    CASE
+                      WHEN t = {a} AND get({tokens_col}, i + 1) = {b}
+                        THEN {m}
+                      WHEN t = {b} AND get({tokens_col}, i - 1) = {a}
+                        THEN CAST(NULL AS INT)
+                      ELSE t
+                    END),
+                  x -> x IS NOT NULL)"""
+        )
+    else:
+        # index fold with (out, skip) state: skip consumes the second a of
+        # a just-merged pair so [a,a,a] -> [m, a]. sequence(0, n-1) is
+        # guarded for n = 0 (Spark's sequence DESCENDS for empty ranges).
+        # O(n^2/doc) from per-step concat — the self-pair path is rare in
+        # real BPE rounds; the common a != b path above is linear codegen.
+        merged = F.expr(
+            f"""CASE WHEN size({tokens_col}) = 0 THEN {tokens_col} ELSE
+                aggregate(sequence(0, size({tokens_col}) - 1),
+                  named_struct('out', CAST(array() AS ARRAY<INT>),
+                               'skip', false),
+                  (acc, i) -> CASE
+                    WHEN acc.skip
+                      THEN named_struct('out', acc.out, 'skip', false)
+                    WHEN get({tokens_col}, i) = {a}
+                         AND get({tokens_col}, i + 1) = {b}
+                      THEN named_struct(
+                        'out', concat(acc.out, array({m})), 'skip', true)
+                    ELSE named_struct(
+                      'out',
+                      concat(acc.out, array(get({tokens_col}, i))),
+                      'skip', false)
+                  END,
+                  acc -> acc.out) END"""
+        )
+    return tok.select(
+        *others,
+        merged.alias(tokens_col),
+        F.size(merged).alias("n_tok"),
+    )
+
+
 def pack_tokens(
     tok: DataFrame,
     budget: int = 2048,

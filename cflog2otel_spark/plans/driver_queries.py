@@ -2110,6 +2110,70 @@ def o_tok_contamination() -> str:
     """
 
 
+def q_tok_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round end-to-end (tokens.py:bpe_merge_step):
+    select the corpus's top bigram with a != b (freq desc, encoding asc
+    tie-break; the a != b restriction keeps the merge overlap-free so the
+    oracle's positional SQL rewrite is exact — the a == b fold path is
+    property-tested in pytest), apply the merge corpus-wide, verify the
+    rewritten sequences TOKEN-BY-TOKEN in exploded form. The pair pick is
+    a one-row control-plane collect, like the IVF training sample."""
+    from ..operators.tokens import (
+        bigram_frequencies,
+        bpe_merge_step,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = tokenize_documents(docs)
+    top = (
+        bigram_frequencies(tok)
+        .filter(
+            (F.col("bigram") / 65536).cast("long")
+            != F.pmod(F.col("bigram"), F.lit(65536))
+        )
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .first()
+    )
+    a, b = int(top["bigram"]) // 65536, int(top["bigram"]) % 65536
+    merged = bpe_merge_step(tok, (a, b), new_id=60000)
+    return merged.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+
+
+def o_tok_bpe_merge() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(tokens)), i ->
+          CAST(tokens[CAST(i AS INT)] AS BIGINT) * 65536
+          + CAST(tokens[CAST(i AS INT) + 1] AS BIGINT))) AS bigram
+        FROM t WHERE len(tokens) >= 2),
+      top AS (
+        SELECT CAST(bigram // 65536 AS INT) AS a,
+               CAST(bigram % 65536 AS INT) AS b
+        FROM (SELECT bigram, COUNT(*) c FROM bg
+              WHERE bigram // 65536 != bigram % 65536
+              GROUP BY bigram ORDER BY c DESC, bigram LIMIT 1)),
+      m AS (
+        SELECT t.doc_id,
+               list_filter(list_transform(range(1, len(t.tokens) + 1), i ->
+                 CASE
+                   WHEN t.tokens[CAST(i AS INT)] = top.a
+                        AND t.tokens[CAST(i AS INT) + 1] = top.b THEN 60000
+                   WHEN t.tokens[CAST(i AS INT)] = top.b
+                        AND t.tokens[CAST(i AS INT) - 1] = top.a THEN NULL
+                   ELSE t.tokens[CAST(i AS INT)]
+                 END), x -> x IS NOT NULL) AS tokens
+        FROM t, top)
+      SELECT doc_id,
+             CAST(unnest(range(0, len(tokens))) AS INT) AS pos,
+             CAST(unnest(tokens) AS INT) AS token
+      FROM m
+    """
+
+
 def q_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (tokens.py:stratified_sample):
     per-source keep fractions resolved from a broadcast literal map,
@@ -2287,6 +2351,7 @@ QUERIES = {
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
     "events_attribution_fwd": (q_events_attribution_fwd, o_events_attribution_fwd),
+    "tok_bpe_merge": (q_tok_bpe_merge, o_tok_bpe_merge),
     "docs_sample": (q_docs_sample, o_docs_sample),
     "tok_budget_mix": (q_tok_budget_mix, o_tok_budget_mix),
 }

@@ -448,3 +448,44 @@ def test_take_token_budget_matches_python_reference(spark):
     all_s1 = take_token_budget(tok, {"s0": 0}).filter("source = 's1'").count()
     assert all_s1 == sum(1 for _, s, _ in rows if s == "s1")
     assert take_token_budget(tok, {"s0": 0}).filter("source = 's0'").count() == 0
+
+
+def _py_bpe_merge(seq, a, b, m):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(m)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 4), min_size=0, max_size=20),
+        min_size=1, max_size=12,
+    ),
+    st.integers(0, 4),
+    st.integers(0, 4),
+)
+def test_bpe_merge_step_matches_python(spark, seqs, a, b):
+    """Greedy left-to-right non-overlapping merge — both the positional
+    (a != b) and the fold (a == b, e.g. [a,a,a] -> [m,a]) paths — vs a
+    python reference on random corpora over a tiny alphabet (maximizing
+    adjacent collisions)."""
+    from cflog2otel_spark.operators.tokens import bpe_merge_step
+
+    tok = spark.createDataFrame(
+        [(i, s, len(s)) for i, s in enumerate(seqs)],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_merge_step(tok, (a, b), 99).collect()
+    }
+    for i, s in enumerate(seqs):
+        want = _py_bpe_merge(s, a, b, 99)
+        assert got[i] == (want, len(want)), (i, s, a, b, got[i], want)
