@@ -239,6 +239,53 @@ def bpe_merge_step(
     )
 
 
+def train_bpe(
+    tok: DataFrame,
+    n_merges: int,
+    first_new_id: int = 60000,
+    tokens_col: str = "tokens",
+) -> tuple[DataFrame, list[tuple[int, int, int]]]:
+    """Iterated BPE training: `n_merges` rounds of (score bigrams → pick
+    the top pair → merge corpus-wide), returning (rewritten corpus, merge
+    table [(a, b, new_id), ...] in application order) — the learned
+    vocabulary extension a tokenizer trainer emits.
+
+    Pair selection is deterministic: max freq, then smallest encoding
+    (ties), mirroring the `tok_bpe_merge` gate's rule without its a != b
+    restriction (the fold path handles self-pairs). Each round's top-pair
+    pick is a one-row control-plane collect; the corpus is eagerly
+    `localCheckpoint`ed every round — iterative rewrites otherwise stack
+    n_merges transform() layers and Catalyst analysis time explodes (the
+    same measured failure mode as connected_components; see
+    clustering.py). Stops early when no bigram repeats (max freq < 2 —
+    merging a once-seen pair buys nothing)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if first_new_id + n_merges > 65535:
+        # merged ids must stay valid halves of the 2^16 bigram encoding
+        raise ValueError(
+            f"first_new_id + n_merges must be <= 65535, got "
+            f"{first_new_id} + {n_merges}"
+        )
+    merges: list[tuple[int, int, int]] = []
+    cur = tok
+    for k in range(n_merges):
+        top = (
+            bigram_frequencies(cur, tokens_col=tokens_col)
+            .orderBy(F.desc("freq"), F.asc("bigram"))
+            .first()
+        )
+        if top is None or top["freq"] < 2:
+            break
+        a, b = int(top["bigram"]) // 65536, int(top["bigram"]) % 65536
+        new_id = first_new_id + k
+        cur = bpe_merge_step(
+            cur, (a, b), new_id, tokens_col=tokens_col
+        ).localCheckpoint(eager=True)
+        merges.append((a, b, new_id))
+    return cur, merges
+
+
 def pack_tokens(
     tok: DataFrame,
     budget: int = 2048,

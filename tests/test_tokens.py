@@ -489,3 +489,59 @@ def test_bpe_merge_step_matches_python(spark, seqs, a, b):
     for i, s in enumerate(seqs):
         want = _py_bpe_merge(s, a, b, 99)
         assert got[i] == (want, len(want)), (i, s, a, b, got[i], want)
+
+
+def _py_train_bpe(seqs, n_merges, first_new_id=60000):
+    merges, cur = [], [list(s) for s in seqs]
+    for k in range(n_merges):
+        counts = {}
+        for s in cur:
+            for i in range(len(s) - 1):
+                enc = s[i] * 65536 + s[i + 1]
+                counts[enc] = counts.get(enc, 0) + 1
+        if not counts:
+            break
+        best = min(counts, key=lambda e: (-counts[e], e))
+        if counts[best] < 2:
+            break
+        a, b = best // 65536, best % 65536
+        m = first_new_id + k
+        cur = [_py_bpe_merge(s, a, b, m) for s in cur]
+        merges.append((a, b, m))
+    return cur, merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=0, max_size=14),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 3),
+)
+def test_train_bpe_matches_python(spark, seqs, n_merges):
+    """Iterated BPE (pair scoring -> deterministic pick -> merge, per
+    round, incl. early stop when no bigram repeats) vs a python trainer.
+    Small alphabet so merged ids re-participate in later rounds."""
+    from cflog2otel_spark.operators.tokens import train_bpe
+
+    tok = spark.createDataFrame(
+        [(i, s, len(s)) for i, s in enumerate(seqs)],
+        "doc_id long, tokens array<int>, n_tok int",
+    )
+    got_df, got_merges = train_bpe(tok, n_merges)
+    got = {r["doc_id"]: r["tokens"] for r in got_df.collect()}
+    want_seqs, want_merges = _py_train_bpe(seqs, n_merges)
+    assert got_merges == want_merges
+    assert got == {i: s for i, s in enumerate(want_seqs)}
+
+
+def test_train_bpe_rejects_bad_args(spark):
+    from cflog2otel_spark.operators.tokens import train_bpe
+
+    tok = spark.createDataFrame([(0, [1, 2], 2)],
+                                "doc_id long, tokens array<int>, n_tok int")
+    with pytest.raises(ValueError):
+        train_bpe(tok, -1)
+    with pytest.raises(ValueError):
+        train_bpe(tok, 10000, first_new_id=60000)
