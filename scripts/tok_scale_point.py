@@ -120,6 +120,28 @@ def main() -> None:
         log(f"pack_emit run {i + 1}: {emit_runs[-1]}s"
             + (" (cold)" if i == 0 else ""))
 
+    # exact sequence dedup at 10 M rows (digest-only shuffle) and token-
+    # 13-gram decontamination (benchmark = every 1000th doc, broadcast)
+    from cflog2otel_spark.operators.tokens import (
+        sequence_dedup,
+        token_ngram_contamination,
+    )
+
+    t0 = time.time()
+    n_kept = sequence_dedup(tok).filter("keep").count()
+    dedup_sec = round(time.time() - t0, 3)
+    log(f"seq_dedup {dedup_sec}s ({n_kept} kept)")
+
+    t0 = time.time()
+    bench_docs = tok.filter(F.col("doc_id") % 1000 == 0)
+    n_cont = (
+        token_ngram_contamination(tok, bench_docs, n=13)
+        .filter("contaminated")
+        .count()
+    )
+    cont_sec = round(time.time() - t0, 3)
+    log(f"contamination {cont_sec}s ({n_cont} flagged)")
+
     # full-scale invariant verification (aggregate-only, no row collect)
     t0 = time.time()
     packed = pack_sequences(tok, budget=BUDGET)
@@ -173,6 +195,10 @@ def main() -> None:
                     total_tokens / statistics.median(emit_runs[1:]), 1
                 ),
                 "n_sequences": n_seqs,
+                "seq_dedup_sec": dedup_sec,
+                "seq_dedup_kept": n_kept,
+                "contamination_sec": cont_sec,
+                "contaminated_docs": n_cont,
                 "verify_sec": verify_sec,
                 "rows_per_source": src_rows,
                 "cpus": int(CPUS),
