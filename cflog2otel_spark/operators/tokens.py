@@ -546,6 +546,43 @@ def bigram_expr(tokens_col: str = "tokens") -> Column:
     )
 
 
+def unigram_logprob(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap stand-in for the perplexity quality
+    filter (docs whose tokens are corpus-typical score high; gibberish and
+    boilerplate outliers score low). Returns (id, n_tok,
+    mean_logprob) with mean_logprob NULL for empty docs.
+
+    Shape: the vocab table is ≤ vocab-size rows (one count shuffle, same
+    as `vocab_frequencies`), then BROADCASTs onto the exploded corpus —
+    map-side join, one groupBy(id) shuffle to re-gather docs. ln() sums
+    are rounded at 6 dp so both engines agree despite summation order."""
+    vocab = vocab_frequencies(tok, tokens_col=tokens_col)
+    total = vocab.agg(F.sum("freq").alias("t")).collect()[0]["t"]
+    scored = (
+        tok.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+        .join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.avg(F.log(F.col("freq") / F.lit(float(total)))).alias("_mlp"),
+        )
+    )
+    return (
+        tok.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+            F.round("_mlp", 6).alias("mean_logprob"),
+        )
+    )
+
+
 def bigram_frequencies(tok: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """(bigram, freq) across the corpus — same shuffle discipline as
     vocab_frequencies; bigram ids decode as (id div 2^16, id mod 2^16)."""

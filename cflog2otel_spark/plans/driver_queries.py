@@ -2110,6 +2110,36 @@ def o_tok_contamination() -> str:
     """
 
 
+def q_tok_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    distribution (tokens.py:unigram_logprob) — the perplexity-filter
+    stand-in. ln() means rounded at 6 dp so summation order can't diverge
+    the engines."""
+    from ..operators.tokens import tokenize_documents, unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(tokenize_documents(docs))
+
+
+def o_tok_logprob() -> str:
+    return f"""
+      WITH t AS ({_TOK_SQL}),
+      ex AS (SELECT doc_id, unnest(tokens) AS token FROM t),
+      v AS (SELECT token, COUNT(*) AS freq FROM ex GROUP BY token),
+      tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS total FROM v),
+      sc AS (
+        SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               round(AVG(ln(v.freq / tot.total)), 6) AS mean_logprob
+        FROM ex JOIN v USING (token), tot
+        GROUP BY ex.doc_id
+      )
+      SELECT t.doc_id,
+             coalesce(sc.n_tok, 0) AS n_tok,
+             sc.mean_logprob
+      FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id
+    """
+
+
 def q_tok_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE training round end-to-end (tokens.py:bpe_merge_step):
     select the corpus's top bigram with a != b (freq desc, encoding asc
@@ -2351,6 +2381,7 @@ QUERIES = {
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
     "events_attribution_fwd": (q_events_attribution_fwd, o_events_attribution_fwd),
+    "tok_logprob": (q_tok_logprob, o_tok_logprob),
     "tok_bpe_merge": (q_tok_bpe_merge, o_tok_bpe_merge),
     "docs_sample": (q_docs_sample, o_docs_sample),
     "tok_budget_mix": (q_tok_budget_mix, o_tok_budget_mix),

@@ -545,3 +545,25 @@ def test_train_bpe_rejects_bad_args(spark):
         train_bpe(tok, -1)
     with pytest.raises(ValueError):
         train_bpe(tok, 10000, first_new_id=60000)
+
+
+def test_unigram_logprob_hand_case(spark):
+    """Tiny hand-computed corpus: freqs {1:3, 2:2, 3:1}, total 6; empty
+    docs score NULL with n_tok 0."""
+    import math
+
+    from cflog2otel_spark.operators.tokens import unigram_logprob
+
+    tok = spark.createDataFrame(
+        [(0, [1, 1, 2]), (1, [1, 2, 3]), (2, [])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(tok).collect()}
+    p = {1: 3 / 6, 2: 2 / 6, 3: 1 / 6}
+    want0 = round((2 * math.log(p[1]) + math.log(p[2])) / 3, 6)
+    want1 = round((math.log(p[1]) + math.log(p[2]) + math.log(p[3])) / 3, 6)
+    assert rows[0]["mean_logprob"] == want0
+    assert rows[1]["mean_logprob"] == want1
+    assert rows[2]["n_tok"] == 0 and rows[2]["mean_logprob"] is None
+    # corpus-typical doc scores higher than the rarer-token doc
+    assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"]
