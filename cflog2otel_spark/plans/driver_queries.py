@@ -1230,7 +1230,7 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, engine_stable=True)
 
 
-def o_docs_minhash_pairs() -> str:
+def o_docs_minhash_pairs(toks_cte: str | None = None) -> str:
     from ..operators.dedup import MERSENNE_P, _hash_params
 
     k, bands, rpb, max_bucket = 32, 8, 4, 1000
@@ -1252,10 +1252,14 @@ def o_docs_minhash_pairs() -> str:
         f"SELECT doc_id, sg, {b} AS band, {bucket(b)} AS bucket FROM sig"
         for b in range(bands)
     )
+    if toks_cte is None:
+        toks_cte = (
+            r"SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+            r"'\s+') t FROM documents"
+        )
     return rf"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') t
-        FROM documents
+        {toks_cte}
       ),
       sh AS (
         SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(
@@ -2110,6 +2114,36 @@ def o_tok_contamination() -> str:
     """
 
 
+def q_tok_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup over TOKEN STREAMS (the tokens-axis rung
+    between exact sequence dedup and cluster resolution): the token array
+    renders as a space-joined id string and flows through the SAME gated
+    banded-LSH operator as text (dedup.py:minhash_lsh_pairs,
+    engine_stable), shingling token-id 3-grams. The oracle is the text
+    oracle with its tokenization CTE swapped for the stringified-token
+    twin — everything downstream (hash params, banding, bucket cap,
+    signature estimate) is shared verbatim."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.tokens import tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    as_text = tokenize_documents(docs).select(
+        "doc_id",
+        F.array_join(
+            F.transform("tokens", lambda t: t.cast("string")), " "
+        ).alias("text"),
+    )
+    return minhash_lsh_pairs(as_text, engine_stable=True)
+
+
+def o_tok_minhash_pairs() -> str:
+    toks_cte = (
+        f"SELECT doc_id, list_transform(tokens, x -> CAST(x AS VARCHAR)) t "
+        f"FROM ({_TOK_SQL})"
+    )
+    return o_docs_minhash_pairs(toks_cte=toks_cte)
+
+
 def q_tok_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability under the corpus's own unigram
     distribution (tokens.py:unigram_logprob) — the perplexity-filter
@@ -2381,6 +2415,7 @@ QUERIES = {
     "tok_contamination": (q_tok_contamination, o_tok_contamination),
     "events_attribution": (q_events_attribution, o_events_attribution),
     "events_attribution_fwd": (q_events_attribution_fwd, o_events_attribution_fwd),
+    "tok_minhash_pairs": (q_tok_minhash_pairs, o_tok_minhash_pairs),
     "tok_logprob": (q_tok_logprob, o_tok_logprob),
     "tok_bpe_merge": (q_tok_bpe_merge, o_tok_bpe_merge),
     "docs_sample": (q_docs_sample, o_docs_sample),
