@@ -286,6 +286,8 @@ def main() -> None:
         "docs_dedup_clusters",  # LSH pairs -> connected components -> keep
         "tok_packing",        # distributed prefix-scan sequence packing
         "tok_seq_dedup",      # digest-first exact sequence dedup
+        "tok_pack_emit",      # packed-sequence materialization (token shuffle)
+        "tok_logprob",        # unigram-LM quality scoring
         "tok_vocab_topk",     # exploded token frequency, one combined shuffle
         "events_attribution", # as-of join (union-merge window, one shuffle)
     ]:
