@@ -174,10 +174,17 @@ def grpc_channel_target(endpoint: str) -> str:
     The old `endpoint.replace("http://", "")` stripped the scheme
     substring ANYWHERE in the string and passed path suffixes
     (`host:4317/v1`) through as an invalid grpc target (ADVICE r4).
-    Parse properly: when a scheme is present take the netloc; otherwise
-    split off any path suffix from the bare authority."""
+    Parse properly: gRPC-native target syntax (`dns:///host:4317`,
+    `ipv4:...`, `ipv6:...`, `unix:...` — schemes grpc resolves itself)
+    passes through UNCHANGED (ADVICE r5: urlsplit on `dns:///h:p` yields
+    an empty netloc, so the old fallthrough mangled it to `dns:`); for
+    http(s)-style URLs take the netloc; otherwise split off any path
+    suffix from the bare authority."""
     from urllib.parse import urlsplit
 
+    scheme = endpoint.split(":", 1)[0].lower() if ":" in endpoint else ""
+    if scheme in ("dns", "ipv4", "ipv6", "unix", "unix-abstract", "xds"):
+        return endpoint
     if "//" in endpoint:
         parts = urlsplit(endpoint)
         if parts.netloc:

@@ -43,7 +43,15 @@ def sink_dirname(name: str) -> str:
             out.append(c)
         else:
             out.append(f"!x{b:02X}")
-    return "".join(out)
+    enc = "".join(out)
+    # '.' is in the allowed set, so the names '.' and '..' (and any
+    # all-dot name) would otherwise resolve to out_dir itself / its
+    # parent instead of a child directory (ADVICE r5). Escape a leading
+    # dot when the whole name is dots — still injective, since '!x2E'
+    # only ever appears where a byte was escaped.
+    if enc and set(enc) == {"."}:
+        enc = "!x2E" + enc[1:]
+    return enc
 
 
 @dataclass

@@ -395,6 +395,14 @@ def test_grpc_channel_target_parsing():
     # scheme-looking substring NOT at the front must not be excised
     assert grpc_channel_target("weirdhttp://host") == "host"
     assert grpc_channel_target("h-with-http://inside:443") == "inside:443"
+    # gRPC-native target syntax passes through UNCHANGED (ADVICE r5:
+    # dns:/// has an empty netloc and was mangled to 'dns:')
+    assert grpc_channel_target("dns:///host:4317") == "dns:///host:4317"
+    assert grpc_channel_target("ipv4:127.0.0.1:4317") == "ipv4:127.0.0.1:4317"
+    assert grpc_channel_target("unix:/run/otel.sock") == "unix:/run/otel.sock"
+    assert (
+        grpc_channel_target("ipv6:[::1]:4317") == "ipv6:[::1]:4317"
+    )
 
 
 def test_decode_export_response_partial_success():

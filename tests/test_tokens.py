@@ -567,3 +567,163 @@ def test_unigram_logprob_hand_case(spark):
     assert rows[2]["n_tok"] == 0 and rows[2]["mean_logprob"] is None
     # corpus-typical doc scores higher than the rarer-token doc
     assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"]
+
+
+def test_word_id_exact_for_very_long_words(spark):
+    """The tokenizer hash accumulates in BIGINT with a running pmod, so it
+    matches exact-integer arithmetic for ANY word length — the old DOUBLE
+    accumulator diverged past ~1,300 chars / 2^53 (ADVICE r5)."""
+    from cflog2otel_spark.operators.tokens import tokenize_documents
+
+    words = ["x" * 5000, "Z" * 1301 + "q" * 2000, "a"]
+    docs = spark.createDataFrame(
+        [(i, w, "s") for i, w in enumerate(words)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r["tokens"] for r in tokenize_documents(docs).collect()}
+    for i, w in enumerate(words):
+        assert rows[i] == [_py_word_id(w.lower())], (i, len(w))
+
+
+def test_tokenize_documents_single_tokenizer_eval(spark):
+    """n_tok derives from the aliased tokens column, so the optimized plan
+    holds exactly ONE tokenizer fold (VERDICT r5 minor: the old single
+    select evaluated tokens_expr twice and relied on codegen subexpression
+    elimination that higher-order functions don't get)."""
+    from cflog2otel_spark.operators.tokens import tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        tokenize_documents(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("ascii(") == 1, plan
+
+
+def test_pack_tokens_respects_tokens_col_name(spark):
+    """pack_tokens must slice the CALLER-NAMED tokens column (ADVICE r5:
+    the slice expr hardcoded `tokens`); also guards against picking up an
+    unrelated column that happens to be named `tokens`."""
+    from cflog2otel_spark.operators.tokens import pack_tokens
+
+    df = spark.createDataFrame(
+        [(0, "s", [1, 2, 3], [9, 9], 3), (1, "s", [4, 5], [9, 9], 2)],
+        "doc_id long, source string, toks array<int>, tokens array<int>, n_tok int",
+    )
+    out = {
+        r["seq_id"]: r["tokens"]
+        for r in pack_tokens(df, budget=4, tokens_col="toks").collect()
+    }
+    assert out == {0: [1, 2, 3, 4], 1: [5]}
+
+
+def test_asof_join_null_right_payload_not_stitched(spark):
+    """A right row with a NULL payload value must match as-is — NOT get
+    that column stitched from an OLDER right row (ADVICE r5: per-column
+    last(ignorenulls) carries). And right rows with NULL ts are ignored
+    entirely instead of leaking their payload."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(0, 1, 10), (1, 1, 30)], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "old-payload"), (1, 25, None), (1, None, "null-ts-leak")],
+        "k long, ts long, payload string",
+    )
+    got = {
+        r["lid"]: (r["ts_right"], r["payload_right"])
+        for r in asof_join(
+            left, right, on="k", right_cols=["payload"]
+        ).collect()
+    }
+    # lid 0: only the ts=5 row is at-or-before -> its payload
+    assert got[0] == (5, "old-payload")
+    # lid 1: nearest is ts=25 whose payload IS null -> carry the null,
+    # not "old-payload" from ts=5, and never "null-ts-leak"
+    assert got[1] == (25, None)
+
+
+def test_asof_join_null_left_ts_never_matches(spark):
+    from cflog2otel_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(0, 1, None)], "lid long, k long, ts long")
+    right = spark.createDataFrame([(1, 5, 7)], "k long, ts long, rid long")
+    for direction in ("backward", "forward"):
+        rows = asof_join(
+            left, right, on="k", right_cols=["rid"], direction=direction
+        ).collect()
+        assert rows[0]["ts_right"] is None and rows[0]["rid_right"] is None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=0, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=0, max_size=40,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 7.0]),
+    st.sampled_from([1.0, 8.0, 1000.0]),
+)
+def test_asof_join_chunked_matches_unchunked(
+    spark, left_rows, right_rows, direction, tol, span
+):
+    """The two-level chunked merge (skew path) is output-identical to the
+    single-level window for every direction/tolerance/chunk-span combo."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    right_dedup = {}
+    for i, (k, ts) in enumerate(right_rows):
+        right_dedup[(k, ts)] = i
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)] or [(0, -1, 0)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(rid, k, ts) for (k, ts), rid in right_dedup.items()] or [(0, -1, 0)],
+        "rid long, k long, ts long",
+    )
+    kwargs = dict(
+        on="k", left_ts="ts", right_ts="ts", right_cols=["rid"],
+        direction=direction, tolerance=tol,
+    )
+    base = {
+        r["lid"]: (r["ts_right"], r["rid_right"])
+        for r in asof_join(left, right, **kwargs).collect()
+    }
+    chunked = {
+        r["lid"]: (r["ts_right"], r["rid_right"])
+        for r in asof_join(left, right, chunk_span=span, **kwargs).collect()
+    }
+    assert chunked == base
+
+
+def test_asof_join_chunked_plan_partitions_by_chunk(spark):
+    """Skew shape: with chunk_span set, the full-data merge window
+    partitions by (key, chunk) — a hot key's history is bounded per time
+    bucket — and the plan still has no BNLJ/Cartesian."""
+    from cflog2otel_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    j = asof_join(
+        left, right, on="user_id", right_cols=["view_id"], chunk_span=3600.0
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_asof_chunk" in plan

@@ -605,3 +605,11 @@ def test_sink_dirname_injective_and_stable():
     assert len(set(encoded)) == len(encoded)
     for e in encoded:
         assert "/" not in e and " " not in e and ":" not in e and "\\" not in e
+    # ADVICE r5: '.' / '..' / all-dot names must map to a REAL child
+    # directory, not out_dir itself or its parent — and stay injective
+    dotty = [".", "..", "...", "!x2E.", "a.b", ".a"]
+    dotty_enc = [sink_dirname(n) for n in dotty]
+    assert len(set(dotty_enc)) == len(dotty_enc)
+    for n, e in zip(dotty, dotty_enc):
+        assert e not in (".", ".."), (n, e)
+    assert sink_dirname("a.b") == "a.b" and sink_dirname(".a") == ".a"
