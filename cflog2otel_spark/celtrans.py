@@ -16,6 +16,13 @@ and README examples):
   - ternary cond ? a : b
   - methods: .contains(s) .startsWith(s) .endsWith(s) .matches(re)
   - functions: double(x) int(x) string(x) size(x) bool? (no)
+  - the `has(path)` macro -> `path IS NOT NULL` (cel-go treats a config
+    field's presence test as the macro, not a function; on our flat
+    parsed-log schema "-" fields parse to NULL, so presence IS null-ness)
+  - `duration("5m")` literals (Go duration syntax: ns/us/ms/s/m/h parts,
+    e.g. "2h45m", "300ms", "-1.5h") -> a Spark day-time INTERVAL via
+    make_dt_interval, so timestamp +/- duration, timestamp - timestamp,
+    and duration comparisons all run natively in Catalyst
 
 Null semantics (pinned spec, SURVEY.md §2.3): SQL three-valued logic; a
 filter evaluating to NULL excludes the row, a NULL attribute value drops the
@@ -266,6 +273,40 @@ class _Parser:
                 return self._methods(("false", "bool"))
             if t.text == "null":
                 return ("NULL", None)
+            if t.text == "has" and self.peek().text == "(":
+                # CEL's has() macro: argument must be a field path (the
+                # macro tests presence, so it cannot take a computed
+                # value — same restriction cel-go enforces at parse time)
+                self.next()
+                first = self.next()
+                if first.kind != "ident":
+                    raise CELTranslationError(
+                        f"has() requires a field path in {self.src!r}"
+                    )
+                segs = [first.text]
+                while self.peek().text == ".":
+                    self.next()
+                    seg = self.next()
+                    if seg.kind != "ident":
+                        raise CELTranslationError(
+                            f"has() requires a field path in {self.src!r}"
+                        )
+                    segs.append(seg.text)
+                self.expect(")")
+                col = _resolve(segs, self.src)
+                return self._methods(((f"({col} IS NOT NULL)"), "bool"))
+            if t.text == "duration" and self.peek().text == "(":
+                self.next()
+                arg = self.next()
+                if arg.kind != "string":
+                    raise CELTranslationError(
+                        f"duration() requires a string literal in {self.src!r}"
+                    )
+                secs = _parse_go_duration(_unescape(arg.text), self.src)
+                self.expect(")")
+                return self._methods(
+                    (f"make_dt_interval(0, 0, 0, {secs!r})", "duration")
+                )
             if t.text in _FUNCS and self.peek().text == "(":
                 self.next()
                 a, _ = self.ternary()
@@ -316,6 +357,27 @@ def _num(lt: str | None, rt: str | None) -> str | None:
     if lt == "int" and rt == "int":
         return "int"
     return None
+
+
+_DUR_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0,
+}
+
+# unit alternation order matters: multi-char units before their suffixes
+_DUR_PART = r"(\d+(?:\.\d*)?)(ns|us|µs|ms|s|m|h)"
+
+
+def _parse_go_duration(s: str, src: str) -> float:
+    """Go time.ParseDuration syntax -> total seconds (float). CEL's
+    duration() accepts exactly this syntax (cel-go delegates to Go)."""
+    m = re.fullmatch(rf"([+-]?)((?:{_DUR_PART})+)", s)
+    if not m:
+        raise CELTranslationError(f"bad duration literal {s!r} in {src!r}")
+    total = 0.0
+    for num, unit in re.findall(_DUR_PART, m.group(2)):
+        total += float(num) * _DUR_UNITS[unit]
+    return -total if m.group(1) == "-" else total
 
 
 def _unescape(lit: str) -> str:

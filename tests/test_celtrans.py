@@ -142,3 +142,99 @@ def test_in_empty_list_is_false():
     the translator emits the constant (ADVICE r2)."""
     assert translate("log.csMethod in []") == "(1 = 0)"
     assert translate("!(log.scStatus in [])") == "(NOT (1 = 0))"
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        ("has(log.xForwardedFor)", "(x_forwarded_for IS NOT NULL)"),
+        ("has(cloudfront.distributionId)", "(distribution_id IS NOT NULL)"),
+        (
+            '!has(log.csReferer) && log.scStatusCategory == "5xx"',
+            "((NOT (cs_referer IS NOT NULL)) AND (sc_status_category = '5xx'))",
+        ),
+        ('duration("5m")', "make_dt_interval(0, 0, 0, 300.0)"),
+        ('duration("2h45m")', "make_dt_interval(0, 0, 0, 9900.0)"),
+        ('duration("300ms")', "make_dt_interval(0, 0, 0, 0.3)"),
+        ('duration("-1.5h")', "make_dt_interval(0, 0, 0, -5400.0)"),
+        (
+            'log.timestamp - timestamp("2019-12-01 22:00:00") < duration("5m")',
+            "((timestamp - to_timestamp('2019-12-01 22:00:00')) < "
+            "make_dt_interval(0, 0, 0, 300.0))",
+        ),
+        (
+            'log.timestamp + duration("1h") > timestamp("2019-12-01 23:00:00")',
+            "((timestamp + make_dt_interval(0, 0, 0, 3600.0)) > "
+            "to_timestamp('2019-12-01 23:00:00'))",
+        ),
+    ],
+)
+def test_has_and_duration(cel, sql):
+    assert translate(cel) == sql
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "has(log.scStatus + 1)",      # macro takes a field path, not an expr
+        "has(42)",
+        "has(log.unknownField)",
+        'duration(log.csMethod)',     # literal only
+        'duration("5 parsecs")',
+        'duration("")',
+        'duration("m5")',
+    ],
+)
+def test_has_and_duration_errors(bad):
+    with pytest.raises(CELTranslationError):
+        translate(bad)
+
+
+def test_duration_timestamp_arithmetic_analyzes(spark):
+    """The translated interval/timestamp expressions must pass Spark
+    analysis against the parsed-log schema (the reference accepts these in
+    any CEL field — cel.go:86-109)."""
+    from cflog2otel_spark.celtrans import validate_against_schema
+
+    types = validate_against_schema(
+        spark,
+        {
+            "h": translate("has(log.xForwardedFor)"),
+            "w": translate(
+                'log.timestamp - timestamp("2019-12-01 22:00:00") '
+                '< duration("5m")'
+            ),
+            "shift": translate('log.timestamp + duration("30s")'),
+        },
+    )
+    assert types["h"] == "boolean"
+    assert types["w"] == "boolean"
+    assert types["shift"].startswith("timestamp")
+
+
+def test_has_filter_through_full_pipeline(spark, cf_fixture_df):
+    """configs/has_filter.json drives has() + duration()/timestamp
+    arithmetic through config-load -> CEL translation -> probe validation
+    -> the actual aggregation, and the per-window counts equal a direct
+    DataFrame computation of the same predicate."""
+    from pyspark.sql import functions as F
+
+    from cflog2otel_spark.config import Config
+    from cflog2otel_spark.pipeline import run_pipeline
+    from cflog2otel_spark.operators.enrich import enrich
+    from cflog2otel_spark.operators.parse import decode_and_parse
+
+    cfg = Config.load("configs/has_filter.json")
+    res = run_pipeline(spark, cfg, cf_fixture_df, cache="none")
+    sink = res.sinks["http.server.requests_with_referer"]
+    got = sum(r["value"] for r in sink.collect())
+
+    parsed = enrich(decode_and_parse(cf_fixture_df))
+    want = parsed.filter(
+        F.col("cs_referer").isNotNull()
+        & (
+            F.col("timestamp")
+            < F.expr("to_timestamp('2019-12-01 00:00:00') + INTERVAL 24 HOURS")
+        )
+    ).count()
+    assert want > 0 and got == want
