@@ -179,6 +179,49 @@ def main() -> None:
         skipped.append(name)
         progress(f"{name} SKIPPED (total budget {TOTAL_BUDGET_SEC:.0f}s spent)")
 
+    # Per-entry steal protocol (VERDICT r5 #3: only the flagship had the
+    # steal gate + min-of-N treatment; every other entry was a single shot,
+    # so one host burst wrote garbage into the round-over-round record —
+    # r5's 60.6 s pipeline_strict vs 7.5 s lenient in the same suite).
+    # Each entry: (a) gate on low steal before starting, (b) measure the
+    # steal fraction DURING the run from /proc/stat, (c) if the run was
+    # contaminated (>2% steal — 5% of 32 advertised vCPUs measured as a 3x
+    # slowdown on this ~2.4-effective-core box), re-run once after
+    # re-gating and report the min. Clean runs stay single-shot, so the
+    # suite only pays the second run when the first was worthless.
+    GATE_CAP_TOTAL = float(os.environ.get("BENCH_GATE_CAP_TOTAL", "420"))
+    ENTRY_GATE_WAIT = float(os.environ.get("BENCH_ENTRY_GATE_WAIT", "60"))
+
+    def _read_steal() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+
+    def timed(name: str, fn) -> None:
+        if not budget_left():
+            skip(name)
+            return
+        if gate_waited[0] < GATE_CAP_TOTAL:
+            gate_waited[0] += wait_for_low_steal(ENTRY_GATE_WAIT)
+        s0, c0 = _read_steal()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        s1, c1 = _read_steal()
+        steal = (s1 - s0) / max(c1 - c0, 1)
+        if steal > 0.02 and budget_left() and gate_waited[0] < GATE_CAP_TOTAL:
+            progress(
+                f"{name} {dt:.1f}s under {steal:.0%} steal; re-running once"
+            )
+            gate_waited[0] += wait_for_low_steal(ENTRY_GATE_WAIT)
+            t0 = time.time()
+            fn()
+            dt = min(dt, time.time() - t0)
+            extras.setdefault("rerun_under_steal", []).append(name)
+        timings[name] = round(dt, 3)
+        progress(f"{name} {timings[name]}s")
+
     t0 = time.time()
     corpus_path = ensure_corpus(spark)
     progress(f"corpus ready in {time.time()-t0:.1f}s")
@@ -252,20 +295,19 @@ def main() -> None:
     # strict-mode flagship (ANSI casts + in-dataflow raise guards replace
     # try_cast/try_to_timestamp): one warm run quantifying the overhead the
     # reference's fail-the-file semantics cost vs lenient (VERDICT r3 #9)
-    if budget_left():
+    def run_strict() -> None:
         sink_dir = tempfile.mkdtemp(prefix="bench_strict_")
-        t0 = time.time()
         result = run_pipeline(spark, cfg, corpus, keep_payload=False, strict=True)
         write_sinks(result, sink_dir)
-        timings["pipeline_strict"] = round(time.time() - t0, 3)
         result.unpersist()
         shutil.rmtree(sink_dir, ignore_errors=True)
+
+    timed("pipeline_strict", run_strict)
+    if "pipeline_strict" in timings:
         progress(
-            f"pipeline_strict {timings['pipeline_strict']}s "
-            f"({timings['pipeline_strict'] / flag:.2f}x lenient median)"
+            f"pipeline_strict {timings['pipeline_strict'] / flag:.2f}x "
+            "lenient median"
         )
-    else:
-        skip("pipeline_strict")
 
     # driver-table queries (same entries the correctness gate runs)
     from cflog2otel_spark.plans.driver_queries import QUERIES
@@ -291,15 +333,14 @@ def main() -> None:
         "tok_vocab_topk",     # exploded token frequency, one combined shuffle
         "events_attribution", # as-of join (union-merge window, one shuffle)
     ]:
-        if not budget_left():
-            skip(name)
-            continue
         fn = QUERIES[name][0]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        progress(f"{name} {timings[name]}s")
+        timed(
+            name,
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     # near-dup / LSH ops over documents
     from cflog2otel_spark.operators.dedup import (
@@ -309,36 +350,33 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    if budget_left():
-        t0 = time.time()
-        minhash_lsh_pairs(docs).write.format("noop").mode("overwrite").save()
-        timings["docs_minhash_lsh"] = round(time.time() - t0, 3)
-        progress(f"docs_minhash_lsh {timings['docs_minhash_lsh']}s")
-    else:
-        skip("docs_minhash_lsh")
-
-    if budget_left():
-        t0 = time.time()
-        simhash_near_dup_pairs(docs).write.format("noop").mode("overwrite").save()
-        timings["docs_simhash_neardup"] = round(time.time() - t0, 3)
-        progress(f"docs_simhash_neardup {timings['docs_simhash_neardup']}s")
-    else:
-        skip("docs_simhash_neardup")
+    timed(
+        "docs_minhash_lsh",
+        lambda: minhash_lsh_pairs(docs)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    timed(
+        "docs_simhash_neardup",
+        lambda: simhash_near_dup_pairs(docs)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
     # embedding near-dup at the production threshold (0.95 -> ~17 bands);
     # log_stats prints the skew cap's candidate-volume numbers to stderr
     from cflog2otel_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    if budget_left():
-        t0 = time.time()
-        embedding_near_dup_pairs(emb, threshold=0.95, log_stats=True).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["emb_near_dup_strict"] = round(time.time() - t0, 3)
-        progress(f"emb_near_dup_strict {timings['emb_near_dup_strict']}s")
-    else:
-        skip("emb_near_dup_strict")
+    timed(
+        "emb_near_dup_strict",
+        lambda: embedding_near_dup_pairs(emb, threshold=0.95, log_stats=True)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
     # streaming flagship (T1-T5 were fixture-tested only, VERDICT r3 #8):
     # availableNow drain of the same corpus. Two variants: the single-pass
@@ -357,21 +395,57 @@ def main() -> None:
             spark, cfg, corpus_path, o, c, watermark="1 hour",
             trigger_once=True)),
     ]:
-        if not budget_left():
-            skip(label)
-            continue
-        stream_out = tempfile.mkdtemp(prefix="bench_stream_out_")
-        stream_ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-        t0 = time.time()
-        for q in launch(stream_out, stream_ckpt):
-            q.awaitTermination()
-        timings[label] = round(time.time() - t0, 3)
-        shutil.rmtree(stream_out, ignore_errors=True)
-        shutil.rmtree(stream_ckpt, ignore_errors=True)
-        progress(
-            f"{label} {timings[label]}s "
-            f"({timings[label] / flag:.2f}x batch median)"
+
+        def run_stream(launch=launch) -> None:
+            # fresh out/ckpt dirs per run so a steal re-run replays the
+            # full drain, not a checkpoint no-op
+            stream_out = tempfile.mkdtemp(prefix="bench_stream_out_")
+            stream_ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+            try:
+                for q in launch(stream_out, stream_ckpt):
+                    q.awaitTermination()
+            finally:
+                shutil.rmtree(stream_out, ignore_errors=True)
+                shutil.rmtree(stream_ckpt, ignore_errors=True)
+
+        timed(label, run_stream)
+        if label in timings:
+            progress(
+                f"{label} {timings[label] / flag:.2f}x batch median"
+            )
+
+    # composed training-corpus job (VERDICT r5 #6): tokenize -> Gopher
+    # quality -> exact + near dedup -> token-13-gram decontamination ->
+    # deterministic sample -> pack -> partitioned write + manifest, as one
+    # CLI-shaped run over the sf documents table. Text is stop-word
+    # augmented (doc_id % 3 != 0) so the quality gate discriminates on the
+    # synthetic corpus — same convention as the gated q_docs_corpus_final.
+    def run_corpus() -> None:
+        from pyspark.sql import functions as F
+
+        from cflog2otel_spark.corpus import run_corpus_pipeline, write_corpus
+
+        out_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+            "text",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) != 0,
+                F.concat(F.col("text"), F.lit(" the of and that have")),
+            ).otherwise(F.col("text")),
         )
+        bench_docs = docs.filter(F.col("doc_id") % 17 == 0)
+        res = run_corpus_pipeline(
+            spark, docs, bench=bench_docs, pack_budget=2048,
+            sample_fractions={}, default_sample_fraction=0.9,
+        )
+        try:
+            manifest = write_corpus(res, out_dir)
+            extras["corpus_funnel"] = manifest["funnel"]
+        finally:
+            res.unpersist()
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    timed("corpus_pipeline", run_corpus)
 
     # drop the LSH signature/entry caches these ops persisted (ADVICE r2)
     # and the shared parsed-events persist (VERDICT r3 #6) — symmetric

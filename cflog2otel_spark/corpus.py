@@ -1,0 +1,237 @@
+"""Runnable training-corpus pipeline: tokenize -> quality filter -> exact
+dedup -> near dedup -> decontaminate -> sample -> token-budget mix -> pack
+-> write, with a lineage manifest (VERDICT r5 #6 — the tokens-axis
+operators were library + contract queries only; this chains them into the
+actual job a data team submits, mirroring the gated
+plans/driver_queries.q_docs_corpus_final composition).
+
+Scale shape — the verdict-table pattern:
+
+- Every per-document gate (quality, exact dedup, near-dup canonical,
+  contamination, sample draw) is computed INDEPENDENTLY over the full
+  corpus and lands as one boolean column in a single per-doc VERDICT
+  table of (doc_id, source, n_tok, flags) — ids and booleans only, the
+  token payload is never persisted. Final keep is the conjunction, the
+  same parallel-verdict semantics as q_docs_corpus_final (a near-dup
+  cluster whose canonical fails quality drops entirely; verdicts don't
+  depend on stage order, so stages can't reorder results).
+- The verdict table is persisted once and consumed twice: a single
+  aggregate computes the whole funnel (docs/tokens surviving each gate)
+  with no extra corpus passes, and the keep set joins back onto the
+  (recomputed, per-row-codegen) tokenized stream to feed packing.
+- The token-budget mix and packing run AFTER the keep filter (they are
+  stream-order-dependent prefix scans), both on the skew-proof chunked
+  scan from operators/tokens.py.
+- Output: packed sequences (source, seq_id, tokens) written partitioned
+  by source — the layout a training loader reads — plus
+  manifest_<run_id>.json recording the funnel, parameters, per-source
+  sequence counts, and wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .operators.clustering import dedup_keep
+from .operators.dedup import minhash_lsh_pairs
+from .operators.text import gopher_quality
+from .operators.tokens import (
+    pack_tokens,
+    sample_predicate,
+    sequence_dedup,
+    take_token_budget,
+    token_ngram_contamination,
+    tokenize_documents,
+)
+
+GOPHER_RULES = (
+    "word_count_ok", "mean_word_ok", "symbol_ok", "alpha_ok", "stopword_ok",
+)
+
+
+@dataclass
+class CorpusResult:
+    sequences: DataFrame          # (source, seq_id, tokens) — packed output
+    verdicts: DataFrame           # persisted per-doc (ids + flags, no payload)
+    funnel: dict = field(default_factory=dict)
+    params: dict = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.verdicts.unpersist()
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    pack_budget: int = 2048,
+    sample_fractions: dict[str, float] | None = None,
+    default_sample_fraction: float = 1.0,
+    token_budgets: dict[str, int] | None = None,
+    contamination_n: int = 13,
+    quality: bool = True,
+    quality_rules: tuple[str, ...] = GOPHER_RULES,
+    exact: bool = True,
+    near_dup: bool = True,
+    chunk_rows: int = 1 << 16,
+) -> CorpusResult:
+    """Compose the gated operators into one corpus job over
+    documents(doc_id, text, source, ...). `bench` (same shape) enables
+    token-`contamination_n`-gram decontamination; `sample_fractions` /
+    `token_budgets` are per-source (missing sources: keep everything /
+    no budget). Gates toggle off individually for ablation runs;
+    `quality_rules` selects which Gopher rules the quality gate conjoins
+    (default all five — e.g. drop `stopword_ok` for non-English or
+    synthetic corpora where it is non-discriminating)."""
+    if pack_budget <= 0:
+        raise ValueError(f"pack_budget must be positive, got {pack_budget}")
+    if quality:
+        bad = set(quality_rules) - set(GOPHER_RULES)
+        if bad or not quality_rules:
+            raise ValueError(
+                f"quality_rules must be a non-empty subset of {GOPHER_RULES},"
+                f" got {quality_rules}"
+            )
+    tok = tokenize_documents(docs)
+    v = tok.select("doc_id", "source", "n_tok")
+
+    flags: list[str] = []
+    if quality:
+        q = gopher_quality(docs).select(
+            "doc_id",
+            F.expr(" AND ".join(quality_rules)).alias("quality_ok"),
+        )
+        v = v.join(q, "doc_id", "left")
+        flags.append("quality_ok")
+    if exact:
+        e = sequence_dedup(tok).select(
+            "doc_id", F.col("keep").alias("exact_keep")
+        )
+        v = v.join(e, "doc_id", "left")
+        flags.append("exact_keep")
+    if near_dup:
+        pairs = minhash_lsh_pairs(docs).select("a", "b")
+        nd = dedup_keep(docs, pairs).select(
+            "doc_id", "cluster_id", F.col("keep").alias("neardup_keep")
+        )
+        v = v.join(nd, "doc_id", "left")
+        flags.append("neardup_keep")
+    if bench is not None:
+        c = token_ngram_contamination(
+            tok, tokenize_documents(bench), n=contamination_n
+        ).select("doc_id", (~F.col("contaminated")).alias("clean"))
+        v = v.join(c, "doc_id", "left")
+        flags.append("clean")
+    if sample_fractions is not None:
+        v = v.withColumn(
+            "sampled",
+            sample_predicate(
+                sample_fractions, default_fraction=default_sample_fraction
+            ),
+        )
+        flags.append("sampled")
+
+    keep = (
+        F.lit(True)
+        if not flags
+        else F.expr(" AND ".join(f"coalesce({f}, false)" for f in flags))
+    )
+    v = v.withColumn("keep", keep).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # the whole funnel in ONE aggregate over the persisted verdict table
+    aggs = [
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("n_tok").alias("tokens_in"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    ]
+    for f in flags:
+        aggs.append(
+            F.sum(F.when(F.col(f), 1).otherwise(0)).alias(f"docs_{f}")
+        )
+    funnel = {k: (int(x) if x is not None else 0)
+              for k, x in v.agg(*aggs).collect()[0].asDict().items()}
+
+    kept = tok.join(v.filter("keep").select("doc_id"), "doc_id")
+    if token_budgets:
+        kept = take_token_budget(
+            kept, token_budgets, chunk_rows=chunk_rows
+        ).drop("tok_offset")
+        funnel["docs_in_budget"] = kept.count()
+    seqs = pack_tokens(kept, budget=pack_budget, chunk_rows=chunk_rows)
+
+    params = {
+        "pack_budget": pack_budget,
+        "sample_fractions": sample_fractions,
+        "default_sample_fraction": (
+            default_sample_fraction if sample_fractions is not None else None
+        ),
+        "token_budgets": token_budgets,
+        "contamination_n": contamination_n if bench is not None else None,
+        "quality_rules": list(quality_rules) if quality else None,
+        "gates": flags,
+    }
+    return CorpusResult(sequences=seqs, verdicts=v, funnel=funnel, params=params)
+
+
+def write_corpus(
+    result: CorpusResult,
+    out_dir: str,
+    input_path: str = "",
+    run_id: str | None = None,
+    elapsed_sec: float | None = None,
+) -> dict:
+    """Write the packed sequences partitioned by source (the layout a
+    training loader wants) plus manifest_<run_id>.json with the funnel,
+    parameters and per-source sequence/token counts. Returns the manifest.
+    Per-source counts come from reading the WRITTEN output back — they
+    attest to what landed on disk, not what the plan promised."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    seq_dir = os.path.join(out_dir, "sequences")
+    result.sequences.write.mode("overwrite").partitionBy("source").parquet(
+        seq_dir
+    )
+    spark = result.sequences.sparkSession
+    per_source = {
+        r["source"]: {"sequences": r["n_seq"], "tokens": int(r["n_tok"])}
+        for r in spark.read.parquet(seq_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seq"),
+            F.sum(F.size("tokens")).alias("n_tok"),
+        )
+        .collect()
+    }
+    manifest = {
+        "run_id": run_id,
+        "input_path": input_path,
+        "created_unix": int(time.time()),
+        "params": result.params,
+        "funnel": result.funnel,
+        "per_source": per_source,
+        "sequences_path": seq_dir,
+    }
+    if elapsed_sec is not None:
+        manifest["throughput"] = {
+            "elapsed_sec": round(elapsed_sec, 3),
+            "tokens_kept": result.funnel.get("tokens_kept"),
+            "tokens_per_sec": (
+                round(result.funnel["tokens_kept"] / elapsed_sec, 1)
+                if elapsed_sec > 0 and result.funnel.get("tokens_kept")
+                else None
+            ),
+        }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"manifest_{run_id}.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest

@@ -416,23 +416,18 @@ def take_token_budget(
     )
 
 
-def stratified_sample(
-    df: DataFrame,
+def sample_predicate(
     fractions: dict[str, float],
     stratum_col: str = "source",
     id_col: str = "doc_id",
     default_fraction: float = 0.0,
     salt: str = "sample",
     denom: int = 1_000_000,
-) -> DataFrame:
-    """Deterministic per-stratum sampling: keep a row iff
-    hash60(id || salt) % denom < fraction * denom for its stratum's
-    fraction. Unlike `df.sample()` this is REPRODUCIBLE row-for-row across
-    runs, partitionings and engines (the SQL oracle replays the identical
-    hash), and a row's verdict never changes when the corpus grows — the
-    property an eval/holdout draw needs. Pure per-row arithmetic, no
-    shuffle; the per-stratum fraction resolves via a broadcast literal
-    map."""
+) -> Column:
+    """The stratified-sample keep/drop verdict as a boolean Column:
+    hash60(id || salt) % denom < fraction * denom for the row's stratum.
+    Exposed separately from `stratified_sample` so verdict-table builders
+    (corpus.run_corpus_pipeline) can MARK rows without a join or filter."""
     from .dedup import hash60
 
     for k, f in fractions.items():
@@ -457,7 +452,36 @@ def stratified_sample(
         hash60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
         F.lit(denom),
     )
-    return df.filter(h < (frac_expr * denom).cast("long"))
+    return h < (frac_expr * denom).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    hash60(id || salt) % denom < fraction * denom for its stratum's
+    fraction. Unlike `df.sample()` this is REPRODUCIBLE row-for-row across
+    runs, partitionings and engines (the SQL oracle replays the identical
+    hash), and a row's verdict never changes when the corpus grows — the
+    property an eval/holdout draw needs. Pure per-row arithmetic, no
+    shuffle; the per-stratum fraction resolves via a broadcast literal
+    map."""
+    return df.filter(
+        sample_predicate(
+            fractions,
+            stratum_col=stratum_col,
+            id_col=id_col,
+            default_fraction=default_fraction,
+            salt=salt,
+            denom=denom,
+        )
+    )
 
 
 def sequence_dedup(

@@ -30,7 +30,54 @@ import time
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="CloudFront-log -> OTel-metrics Spark pipeline")
-    ap.add_argument("--config", required=True)
+    ap.add_argument(
+        "--config",
+        help="metric config (jsonnet or JSON); required except with "
+        "--corpus-pipeline",
+    )
+    ap.add_argument(
+        "--corpus-pipeline",
+        action="store_true",
+        help="run the training-corpus job instead of the cf pipeline: "
+        "tokenize -> Gopher quality -> exact + near dedup -> "
+        "decontaminate (--bench-input) -> sample -> token-budget mix -> "
+        "pack -> write sequences + lineage manifest. --input is the "
+        "documents parquet (doc_id, text, source), --out the output dir",
+    )
+    ap.add_argument(
+        "--bench-input",
+        help="benchmark documents parquet for token n-gram decontamination "
+        "(corpus mode)",
+    )
+    ap.add_argument(
+        "--pack-budget", type=int, default=2048,
+        help="tokens per packed training sequence (corpus mode)",
+    )
+    ap.add_argument(
+        "--sample-fraction", type=float, default=None,
+        help="deterministic per-doc sample fraction applied to every "
+        "source (corpus mode)",
+    )
+    ap.add_argument(
+        "--token-budget", action="append", default=[],
+        metavar="SOURCE=N",
+        help="per-source token budget, repeatable (corpus mode): keep docs "
+        "in id order until the source has N tokens",
+    )
+    ap.add_argument(
+        "--no-quality", action="store_true",
+        help="corpus mode: skip the Gopher quality gate",
+    )
+    ap.add_argument(
+        "--quality-rules",
+        help="corpus mode: comma-separated subset of Gopher rules to "
+        "conjoin (default all five); e.g. drop stopword_ok for "
+        "non-English corpora",
+    )
+    ap.add_argument(
+        "--no-near-dedup", action="store_true",
+        help="corpus mode: skip MinHash near-dup clustering",
+    )
     ap.add_argument("--input", help="tokenized corpus: parquet path or iceberg table")
     ap.add_argument(
         "--text-input",
@@ -152,6 +199,75 @@ def main(argv: list[str] | None = None) -> int:
     from cflog2otel_spark.config import Config, ConfigError
     from cflog2otel_spark.session import get_spark
 
+    if args.corpus_pipeline:
+        if not (args.input and args.out):
+            print("--corpus-pipeline requires --input and --out", file=sys.stderr)
+            return 2
+        budgets: dict[str, int] = {}
+        for spec in args.token_budget:
+            if "=" not in spec:
+                print(f"bad --token-budget {spec!r} (want SOURCE=N)", file=sys.stderr)
+                return 2
+            src, n = spec.rsplit("=", 1)
+            try:
+                budgets[src] = int(n)
+            except ValueError:
+                print(f"bad --token-budget {spec!r} (want SOURCE=N)", file=sys.stderr)
+                return 2
+        from cflog2otel_spark.corpus import GOPHER_RULES
+
+        rules = GOPHER_RULES
+        if args.quality_rules:
+            rules = tuple(
+                r.strip() for r in args.quality_rules.split(",") if r.strip()
+            )
+            bad = set(rules) - set(GOPHER_RULES)
+            if bad or not rules:
+                print(
+                    f"bad --quality-rules: {sorted(bad) or 'empty'} "
+                    f"(choose from {', '.join(GOPHER_RULES)})",
+                    file=sys.stderr,
+                )
+                return 2
+        spark = get_spark(master=args.master, app_name="corpus_pipeline")
+        try:
+            from cflog2otel_spark.corpus import run_corpus_pipeline, write_corpus
+
+            t0 = time.time()
+            docs = spark.read.parquet(args.input)
+            bench = (
+                spark.read.parquet(args.bench_input) if args.bench_input else None
+            )
+            res = run_corpus_pipeline(
+                spark,
+                docs,
+                bench=bench,
+                pack_budget=args.pack_budget,
+                quality_rules=rules,
+                sample_fractions=(
+                    {} if args.sample_fraction is not None else None
+                ),
+                default_sample_fraction=(
+                    args.sample_fraction if args.sample_fraction is not None else 1.0
+                ),
+                token_budgets=budgets or None,
+                quality=not args.no_quality,
+                near_dup=not args.no_near_dedup,
+            )
+            manifest = write_corpus(
+                res, args.out, input_path=args.input,
+                elapsed_sec=time.time() - t0,
+            )
+            res.unpersist()
+            print(json.dumps({"corpus": manifest["funnel"],
+                              "run_id": manifest["run_id"]}), file=sys.stderr)
+            return 0
+        finally:
+            spark.stop()
+
+    if not args.config:
+        print("--config is required", file=sys.stderr)
+        return 2
     try:
         cfg = Config.load(args.config)
     except ConfigError as exc:
