@@ -23,6 +23,14 @@ and README examples):
     e.g. "2h45m", "300ms", "-1.5h") -> a Spark day-time INTERVAL via
     make_dt_interval, so timestamp +/- duration, timestamp - timestamp,
     and duration comparisons all run natively in Catalyst
+  - list literals `[a, b]` -> array(...), map literals `{'k': v}` ->
+    map(...), indexing `xs[i]` (CEL 0-based -> element_at i+1; under
+    Spark ANSI mode an out-of-range index / missing map key RAISES —
+    exactly CEL's error semantics) and `x in xs` / `k in m` membership
+  - the comprehension macros `exists`/`all`/`filter`/`map`/`exists_one`
+    -> Spark HOFs exists/forall/filter/transform with proper lambda
+    scoping (shadowing outer bindings, unique SQL variable names);
+    cel-go iterates map KEYS, so a map receiver wraps in map_keys()
 
 Null semantics (pinned spec, SURVEY.md §2.3): SQL three-valued logic; a
 filter evaluating to NULL excludes the row, a NULL attribute value drops the
@@ -54,7 +62,7 @@ _TOKEN_RE = re.compile(
   | (?P<int>\d+)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:\[\]])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:\[\]{}])
     """,
     re.VERBOSE,
 )
@@ -91,6 +99,10 @@ _METHODS = {
     "endsWith": ("endswith({x}, {a})", "bool"),
     "matches": ("regexp_like({x}, {a})", "bool"),
 }
+
+# comprehension macros (cel-go parser macros, not functions): receiver
+# `.macro(var, body)` with `var` lexically bound inside `body`
+_MACROS = frozenset({"exists", "all", "filter", "map", "exists_one"})
 
 _FUNCS = {
     "double": ("CAST({a} AS DOUBLE)", "double"),
@@ -136,6 +148,10 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.src = src
+        # comprehension-macro lambda bindings: CEL var name -> the unique
+        # SQL lambda variable currently shadowing it
+        self.scope: dict[str, str] = {}
+        self._lambda_n = 0
         _init_column_types()
 
     def peek(self) -> Tok:
@@ -191,16 +207,30 @@ class _Parser:
             right, _ = self.add()
             return f"({left} {_CMP[op]} {right})", "bool"
         if self.peek().text == "in":
-            # CEL `x in [a, b, c]` -> SQL IN list
             self.next()
-            if self.peek().text != "[":
-                raise CELTranslationError(f"`in` requires a list literal in {self.src!r}")
-            items = self._list_literal()
-            if not items:
-                # CEL: membership in an empty list is false; SQL `IN ()`
-                # is a parse error, so emit the constant directly.
-                return "(1 = 0)", "bool"
-            return f"({left} IN ({', '.join(items)}))", "bool"
+            if self.peek().text == "[":
+                # literal-list fast path -> SQL IN (Catalyst folds it and
+                # can push the predicate to the scan) — unless the list
+                # is the receiver of further postfix ops (.map(...), [i])
+                save = self.i
+                items = self._list_literal()
+                if self.peek().text in (".", "["):
+                    self.i = save  # general path re-parses from the '['
+                else:
+                    if not items:
+                        # CEL: membership in an empty list is false; SQL
+                        # `IN ()` is a parse error, so emit the constant.
+                        return "(1 = 0)", "bool"
+                    return f"({left} IN ({', '.join(items)}))", "bool"
+            rhs, rt = self.add()
+            if rt == "map":
+                # CEL `k in m` is KEY membership
+                return f"map_contains_key({rhs}, {left})", "bool"
+            if rt == "list":
+                return f"array_contains({rhs}, {left})", "bool"
+            raise CELTranslationError(
+                f"`in` requires a list or map on the right in {self.src!r}"
+            )
         return left, lt
 
     def _list_literal(self) -> list[str]:
@@ -260,6 +290,26 @@ class _Parser:
             e = self.ternary()
             self.expect(")")
             return self._methods(e)
+        if t.text == "[":
+            self.i -= 1  # _list_literal consumes the '['
+            items = self._list_literal()
+            sql = f"array({', '.join(items)})" if items else "array()"
+            return self._methods((sql, "list"))
+        if t.text == "{":
+            pairs: list[str] = []
+            if self.peek().text != "}":
+                while True:
+                    k, _ = self.ternary()
+                    self.expect(":")
+                    val, _ = self.ternary()
+                    pairs.extend((k, val))
+                    if self.peek().text == ",":
+                        self.next()
+                        continue
+                    break
+            self.expect("}")
+            sql = f"map({', '.join(pairs)})" if pairs else "map()"
+            return self._methods((sql, "map"))
         if t.kind == "int":
             return self._methods((t.text + "L", "int"))
         if t.kind == "float":
@@ -273,6 +323,10 @@ class _Parser:
                 return self._methods(("false", "bool"))
             if t.text == "null":
                 return ("NULL", None)
+            if t.text in self.scope:
+                # comprehension-macro iteration variable (innermost
+                # binding wins — lexical shadowing)
+                return self._methods((self.scope[t.text], None))
             if t.text == "has" and self.peek().text == "(":
                 # CEL's has() macro: argument must be a field path (the
                 # macro tests presence, so it cannot take a computed
@@ -309,8 +363,12 @@ class _Parser:
                 )
             if t.text in _FUNCS and self.peek().text == "(":
                 self.next()
-                a, _ = self.ternary()
+                a, at = self.ternary()
                 self.expect(")")
+                if t.text == "size" and at in ("list", "map"):
+                    # CEL size() is element count on collections; Spark's
+                    # length() only takes strings/binary
+                    return self._methods((f"size({a})", "int"))
                 tmpl, rt = _FUNCS[t.text]
                 return self._methods((tmpl.format(a=a), rt))
             return self._path(t.text)
@@ -336,10 +394,50 @@ class _Parser:
 
     def _methods(self, e: tuple[str, str | None]) -> tuple[str, str | None]:
         sql, stype = e
-        while self.peek().text == ".":
+        while True:
+            t = self.peek().text
+            if t == "[":
+                # indexing: CEL lists are 0-based, element_at is 1-based;
+                # under ANSI mode element_at RAISES on out-of-range /
+                # missing key — CEL's error semantics exactly
+                self.next()
+                idx, _ = self.ternary()
+                self.expect("]")
+                if stype == "map":
+                    sql, stype = f"element_at({sql}, {idx})", None
+                elif stype == "list":
+                    sql, stype = (
+                        f"element_at({sql}, CAST(({idx}) + 1 AS INT))",
+                        None,
+                    )
+                else:
+                    raise CELTranslationError(
+                        f"indexing requires a list or map in {self.src!r}"
+                    )
+                continue
+            if t != ".":
+                break
             self.next()
             name = self.next()
-            if name.kind != "ident" or name.text not in _METHODS:
+            if name.kind != "ident":
+                raise CELTranslationError(
+                    f"unsupported method .{name.text} in {self.src!r}"
+                )
+            if name.text in _MACROS and self.peek().text == "(":
+                sql, stype = self._macro(sql, stype, name.text)
+                continue
+            if name.text == "size" and self.peek().text == "(":
+                # cel-go also accepts receiver-style size()
+                self.next()
+                self.expect(")")
+                sql = (
+                    f"size({sql})"
+                    if stype in ("list", "map")
+                    else f"length({sql})"
+                )
+                stype = "int"
+                continue
+            if name.text not in _METHODS:
                 raise CELTranslationError(
                     f"unsupported method .{name.text} in {self.src!r}"
                 )
@@ -349,6 +447,42 @@ class _Parser:
             tmpl, rt = _METHODS[name.text]
             sql, stype = tmpl.format(x=sql, a=a), rt
         return sql, stype
+
+    def _macro(self, sql: str, stype: str | None, name: str) -> tuple[str, str | None]:
+        """Comprehension macro -> Spark higher-order function. cel-go
+        iterates a map receiver's KEYS; lists iterate elements. The
+        iteration variable gets a unique SQL name so nested macros (and
+        shadowed outer bindings) can't collide."""
+        recv = f"map_keys({sql})" if stype == "map" else sql
+        self.expect("(")
+        var = self.next()
+        if var.kind != "ident":
+            raise CELTranslationError(
+                f"{name}() requires an iteration variable in {self.src!r}"
+            )
+        self.expect(",")
+        outer = self.scope.get(var.text)
+        lam = f"_cel{self._lambda_n}_{var.text}"
+        self._lambda_n += 1
+        self.scope[var.text] = lam
+        try:
+            body, _ = self.ternary()
+        finally:
+            if outer is None:
+                self.scope.pop(var.text, None)
+            else:
+                self.scope[var.text] = outer
+        self.expect(")")
+        if name == "exists":
+            return f"exists({recv}, {lam} -> {body})", "bool"
+        if name == "all":
+            return f"forall({recv}, {lam} -> {body})", "bool"
+        if name == "filter":
+            return f"filter({recv}, {lam} -> {body})", "list"
+        if name == "map":
+            return f"transform({recv}, {lam} -> {body})", "list"
+        # exists_one: exactly one element satisfies the predicate
+        return f"(size(filter({recv}, {lam} -> {body})) = 1)", "bool"
 
 
 def _num(lt: str | None, rt: str | None) -> str | None:

@@ -40,6 +40,8 @@ sources rows).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -259,6 +261,7 @@ def train_bpe(
     n_merges: int,
     first_new_id: int = 60000,
     tokens_col: str = "tokens",
+    on_round=None,
 ) -> tuple[DataFrame, list[tuple[int, int, int]]]:
     """Iterated BPE training: `n_merges` rounds of (score bigrams → pick
     the top pair → merge corpus-wide), returning (rewritten corpus, merge
@@ -285,6 +288,7 @@ def train_bpe(
     merges: list[tuple[int, int, int]] = []
     cur = tok
     for k in range(n_merges):
+        t0 = time.time()
         top = (
             bigram_frequencies(cur, tokens_col=tokens_col)
             .orderBy(F.desc("freq"), F.asc("bigram"))
@@ -298,6 +302,12 @@ def train_bpe(
             cur, (a, b), new_id, tokens_col=tokens_col
         ).localCheckpoint(eager=True)
         merges.append((a, b, new_id))
+        if on_round is not None:
+            # observability hook for scale runs: (round, (a, b), new_id,
+            # winning freq, wall seconds incl. the eager checkpoint) —
+            # per-round cost must stay FLAT across rounds (the lineage-
+            # truncation property the eager localCheckpoint buys)
+            on_round(k, (a, b), new_id, int(top["freq"]), time.time() - t0)
     return cur, merges
 
 

@@ -102,7 +102,8 @@ def test_in_operator(cel, sql):
 
 
 def test_in_requires_list():
-    with pytest.raises(CELTranslationError, match="list literal"):
+    # csHost is a scalar string column — `in` needs a list or map rhs
+    with pytest.raises(CELTranslationError, match="list or map"):
         translate("log.csMethod in log.csHost")
 
 
@@ -238,3 +239,101 @@ def test_has_filter_through_full_pipeline(spark, cf_fixture_df):
         )
     ).count()
     assert want > 0 and got == want
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        (
+            "[1, 2, 3].exists(x, x == log.scStatus)",
+            "exists(array(1L, 2L, 3L), _cel0_x -> (_cel0_x = sc_status))",
+        ),
+        (
+            "[1, 2, 3].all(v, v > 0)",
+            "forall(array(1L, 2L, 3L), _cel0_v -> (_cel0_v > 0L))",
+        ),
+        (
+            "[1, 2, 3].filter(v, v % 2 == 1).size()",
+            "size(filter(array(1L, 2L, 3L), _cel0_v -> ((_cel0_v % 2L) = 1L)))",
+        ),
+        (
+            "size([1, 2].map(v, v * 2))",
+            "size(transform(array(1L, 2L), _cel0_v -> (_cel0_v * 2L)))",
+        ),
+        (
+            "[1, 2, 3].exists_one(v, v == 2)",
+            "(size(filter(array(1L, 2L, 3L), _cel0_v -> (_cel0_v = 2L))) = 1)",
+        ),
+        # nested comprehensions: unique lambda names, lexical shadowing
+        (
+            "[[1],[2]].exists(xs, xs.exists(x, x == 2))",
+            "exists(array(array(1L), array(2L)), _cel0_xs -> "
+            "exists(_cel0_xs, _cel1_x -> (_cel1_x = 2L)))",
+        ),
+        # map literals: indexing, key membership, key iteration
+        (
+            "{'a': 1, 'b': 2}['a'] == 1",
+            "(element_at(map('a', 1L, 'b', 2L), 'a') = 1L)",
+        ),
+        ("'a' in {'a': 1}", "map_contains_key(map('a', 1L), 'a')"),
+        (
+            "{'a':1}.exists(k, k == 'a')",
+            "exists(map_keys(map('a', 1L)), _cel0_k -> (_cel0_k = 'a'))",
+        ),
+        # list literal as a value: 0-based indexing via 1-based element_at
+        (
+            "[10, 20][0] == 10",
+            "(element_at(array(10L, 20L), CAST((0L) + 1 AS INT)) = 10L)",
+        ),
+        # `in` over a computed list falls back to array_contains (the
+        # literal fast path still emits SQL IN, tested above)
+        (
+            "2 in [1, 2].map(v, v + 1)",
+            "array_contains(transform(array(1L, 2L), "
+            "_cel0_v -> (_cel0_v + 1L)), 2L)",
+        ),
+        ("[]", "array()"),
+        ("{}", "map()"),
+    ],
+)
+def test_comprehension_macros_translate(cel, sql):
+    assert translate(cel) == sql
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "[1,2].frobnicate(x, x)",       # unknown macro/method
+        "log.uri[0]",                    # unknown field
+        "log.csUriStem[0]",              # indexing a scalar column
+        "5 in 6",                        # `in` needs list or map
+        "[1,2].exists(1, x)",            # iteration var must be ident
+    ],
+)
+def test_comprehension_macro_errors(bad):
+    with pytest.raises(CELTranslationError):
+        translate(bad)
+
+
+def test_comprehension_macros_evaluate(spark):
+    """The emitted HOF SQL must not only analyze — it must EVALUATE to
+    CEL's semantics (0-based index, key iteration, exists_one = exactly
+    one, shadowing) on a real row."""
+    map_index = translate("{'a': 7}['a']")
+    rows = spark.sql(
+        "SELECT "
+        f"({translate('[1, 2, 3].exists(x, x == 2)')}) AS a, "
+        f"({translate('[1, 2, 3].all(v, v > 0)')}) AS b, "
+        f"({translate('[1, 2, 3].filter(v, v % 2 == 1).size()')}) AS c, "
+        f"({translate('[10, 20][1]')}) AS d, "
+        f"({translate('[2, 2].exists_one(v, v == 2)')}) AS e, "
+        f"({map_index}) AS f, "
+        f"({translate('[1,2].map(x, [3,4].map(x, x * 2).size() + x).size()')}) AS g"
+    ).collect()[0]
+    assert rows["a"] is True
+    assert rows["b"] is True
+    assert rows["c"] == 2
+    assert rows["d"] == 20
+    assert rows["e"] is False   # two matches -> not exactly one
+    assert rows["f"] == 7
+    assert rows["g"] == 2
