@@ -31,6 +31,11 @@ and README examples):
     -> Spark HOFs exists/forall/filter/transform with proper lambda
     scoping (shadowing outer bindings, unique SQL variable names);
     cel-go iterates map KEYS, so a map receiver wraps in map_keys()
+  - core-CEL timestamp accessors getFullYear/getMonth/getDate/
+    getDayOfMonth/getDayOfWeek/getDayOfYear/getHours/getMinutes/
+    getSeconds/getMilliseconds with CEL's calendar conventions
+    (getMonth/getDayOfMonth/getDayOfYear 0-based, getDayOfWeek
+    0 = Sunday)
 
 Null semantics (pinned spec, SURVEY.md §2.3): SQL three-valued logic; a
 filter evaluating to NULL excludes the row, a NULL attribute value drops the
@@ -98,6 +103,25 @@ _METHODS = {
     "startsWith": ("startswith({x}, {a})", "bool"),
     "endsWith": ("endswith({x}, {a})", "bool"),
     "matches": ("regexp_like({x}, {a})", "bool"),
+}
+
+# core-CEL timestamp accessors (zero-arg receiver methods). CEL's
+# calendar conventions differ from Spark's: getMonth/getDayOfYear are
+# 0-based, getDayOfMonth is 0-based while getDate is 1-based, and
+# getDayOfWeek is 0=Sunday (Spark dayofweek is 1=Sunday). The UTC-only
+# form is supported (no tz argument — session timezone is UTC here,
+# matching the reference's zone-less CloudFront timestamps).
+_TS_METHODS = {
+    "getFullYear": "year({x})",
+    "getMonth": "(month({x}) - 1)",
+    "getDate": "day({x})",
+    "getDayOfMonth": "(day({x}) - 1)",
+    "getDayOfWeek": "(dayofweek({x}) - 1)",
+    "getDayOfYear": "(dayofyear({x}) - 1)",
+    "getHours": "hour({x})",
+    "getMinutes": "minute({x})",
+    "getSeconds": "second({x})",
+    "getMilliseconds": "(CAST(date_part('SECOND', {x}) * 1000 AS BIGINT) % 1000)",
 }
 
 # comprehension macros (cel-go parser macros, not functions): receiver
@@ -425,6 +449,11 @@ class _Parser:
                 )
             if name.text in _MACROS and self.peek().text == "(":
                 sql, stype = self._macro(sql, stype, name.text)
+                continue
+            if name.text in _TS_METHODS and self.peek().text == "(":
+                self.next()
+                self.expect(")")
+                sql, stype = _TS_METHODS[name.text].format(x=sql), "int"
                 continue
             if name.text == "size" and self.peek().text == "(":
                 # cel-go also accepts receiver-style size()

@@ -337,3 +337,44 @@ def test_comprehension_macros_evaluate(spark):
     assert rows["e"] is False   # two matches -> not exactly one
     assert rows["f"] == 7
     assert rows["g"] == 2
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        ("log.timestamp.getFullYear()", "year(timestamp)"),
+        ("log.timestamp.getMonth()", "(month(timestamp) - 1)"),
+        ("log.timestamp.getDate()", "day(timestamp)"),
+        ("log.timestamp.getDayOfMonth()", "(day(timestamp) - 1)"),
+        ("log.timestamp.getDayOfWeek()", "(dayofweek(timestamp) - 1)"),
+        ("log.timestamp.getHours() == 22", "(hour(timestamp) = 22L)"),
+        ("log.timestamp.getMinutes()", "minute(timestamp)"),
+        ("log.timestamp.getSeconds()", "second(timestamp)"),
+    ],
+)
+def test_timestamp_accessors_translate(cel, sql):
+    assert translate(cel) == sql
+
+
+def test_timestamp_accessors_evaluate(spark):
+    """CEL calendar conventions on a known instant: 2019-12-01 22:01:35
+    was a Sunday. getMonth is 0-based (December = 11), getDayOfMonth
+    0-based, getDate 1-based, getDayOfWeek 0 = Sunday."""
+    from cflog2otel_spark.celtrans import translate as tr
+
+    def ev(cel):
+        sql = tr(cel).replace(
+            "timestamp", "timestamp'2019-12-01 22:01:35.250'", 1
+        )
+        return spark.sql(f"SELECT ({sql}) AS v").collect()[0]["v"]
+
+    assert ev("log.timestamp.getFullYear()") == 2019
+    assert ev("log.timestamp.getMonth()") == 11
+    assert ev("log.timestamp.getDate()") == 1
+    assert ev("log.timestamp.getDayOfMonth()") == 0
+    assert ev("log.timestamp.getDayOfWeek()") == 0
+    assert ev("log.timestamp.getDayOfYear()") == 334
+    assert ev("log.timestamp.getHours()") == 22
+    assert ev("log.timestamp.getMinutes()") == 1
+    assert ev("log.timestamp.getSeconds()") == 35
+    assert ev("log.timestamp.getMilliseconds()") == 250
