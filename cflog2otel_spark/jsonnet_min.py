@@ -18,6 +18,10 @@ in Python — no external jsonnet binding required:
   - field access a.b, indexing a[i], function calls
   - std.native(name) plus the std functions the reference's configs use
     (map, range, filter, length, join, toString)
+  - `import 'lib.libsonnet'` / `importstr 'file.txt'` with go-jsonnet
+    FileImporter semantics: paths resolve relative to the importing
+    file, files evaluate in a fresh env (only std visible) and are
+    cached per load, cycles raise
 
 Anything outside the subset raises JsonnetError with a position, which
 Config.load wraps into ConfigError — the reference's invalid_syntax.jsonnet
@@ -189,7 +193,7 @@ class _Parser:
         if k == "function":
             self.next()
             return ("fn", self._params(), self.expr())
-        if k in ("import", "importstr", "self", "super", "assert", "error"):
+        if k in ("self", "super", "assert", "error"):
             raise JsonnetError(f"line {line}: {k!r} is not supported")
         return self._binary(0)
 
@@ -262,6 +266,13 @@ class _Parser:
 
     def _primary(self) -> Any:
         k, v, line = self.next()
+        if k in ("import", "importstr"):
+            pk, pv, pl = self.next()
+            if pk != "string":
+                raise JsonnetError(
+                    f"line {pl}: {k} requires a string literal path"
+                )
+            return (k, _unquote(pv), line)
         if k == "number":
             return ("num", float(v) if ("." in v or "e" in v or "E" in v) else int(v))
         if k == "string":
@@ -364,6 +375,8 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
                 return scope[name]
             scope = scope.get("__parent__")
         raise JsonnetError(f"unknown variable {name!r}")
+    if op in ("import", "importstr"):
+        return _do_import(op, node[1], env)
     if op == "local":
         child: dict[str, Any] = {"__parent__": env}
         for name, params, expr in node[1]:
@@ -444,6 +457,60 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
         if o == ">=":
             return a >= b
     raise JsonnetError(f"unsupported construct {op!r}")  # pragma: no cover
+
+
+def _do_import(kind: str, rel: str, env: dict[str, Any]) -> Any:
+    """`import` / `importstr` resolution (go-jsonnet FileImporter
+    semantics, jsonnet.go:240-247 uses the default importer): paths
+    resolve relative to the IMPORTING file's directory; each file is
+    evaluated once per load (cached by absolute path, like go-jsonnet's
+    import cache) in a FRESH environment — imports see only std, never
+    the importer's locals; cycles are an error, not a hang. `importstr`
+    yields the raw file text."""
+    scope: dict[str, Any] | None = env
+    ctx = None
+    while scope is not None:
+        if "__import__" in scope:
+            ctx = scope["__import__"]
+            break
+        scope = scope.get("__parent__")
+    if ctx is None:
+        raise JsonnetError(
+            f"{kind} {rel!r}: imports need a base directory — load the "
+            "config from a file (evaluate_file), not a string"
+        )
+    path = rel if os.path.isabs(rel) else os.path.normpath(
+        os.path.join(ctx["dir"], rel)
+    )
+    key = (kind, path)
+    if key in ctx["cache"]:
+        return ctx["cache"][key]
+    if kind == "import" and path in ctx["stack"]:
+        chain = " -> ".join([*ctx["stack"], path])
+        raise JsonnetError(f"import cycle: {chain}")
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError as exc:
+        raise JsonnetError(f"{kind} {rel!r}: {exc}") from exc
+    if kind == "importstr":
+        ctx["cache"][key] = text
+        return text
+    root: dict[str, Any] = {
+        "std": _Std(_STD),
+        "__parent__": None,
+        "__import__": {
+            "dir": os.path.dirname(path),
+            "cache": ctx["cache"],
+            "stack": [*ctx["stack"], path],
+        },
+    }
+    try:
+        value = _eval(_Parser(_tokenize(text)).parse(), root)
+    except JsonnetError as exc:
+        raise JsonnetError(f"{path}: {exc}") from exc
+    ctx["cache"][key] = value
+    return value
 
 
 def _apply(fn: Any, args: list[Any]) -> Any:
@@ -573,11 +640,21 @@ class _Std(dict):
         raise JsonnetError(f"std.{key} is not supported")
 
 
-def evaluate(src: str, filename: str = "<jsonnet>") -> Any:
-    """Evaluate a jsonnet source string to a plain JSON value."""
+def evaluate(
+    src: str, filename: str = "<jsonnet>", base_dir: str | None = None
+) -> Any:
+    """Evaluate a jsonnet source string to a plain JSON value. `base_dir`
+    enables import/importstr resolution (set automatically by
+    evaluate_file); without it imports raise."""
     try:
         ast = _Parser(_tokenize(src)).parse()
         root_env: dict[str, Any] = {"std": _Std(_STD), "__parent__": None}
+        if base_dir is not None:
+            root_env["__import__"] = {
+                "dir": base_dir,
+                "cache": {},
+                "stack": [os.path.abspath(filename)],
+            }
         value = _eval(ast, root_env)
     except JsonnetError as exc:
         raise JsonnetError(f"{filename}: {exc}") from exc
@@ -598,5 +675,8 @@ def _manifest(v: Any) -> Any:
 
 
 def evaluate_file(path: str) -> Any:
+    path = os.path.abspath(path)
     with open(path) as fh:
-        return evaluate(fh.read(), filename=path)
+        return evaluate(
+            fh.read(), filename=path, base_dir=os.path.dirname(path)
+        )

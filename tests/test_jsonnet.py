@@ -129,8 +129,11 @@ def test_language_subset():
     assert evaluate("{['k' + 1]: true}") == {"k1": True}
     with pytest.raises(JsonnetError, match="unknown variable"):
         evaluate("nope")
-    with pytest.raises(JsonnetError, match="not supported"):
+    # import is now supported — but only with a base directory (file load)
+    with pytest.raises(JsonnetError, match="base directory"):
         evaluate("import 'x.libsonnet'")
+    with pytest.raises(JsonnetError, match="not supported"):
+        evaluate("self.x")
     with pytest.raises(JsonnetError, match="std.thisDoesNotExist"):
         evaluate("std.thisDoesNotExist(1)")
 
@@ -226,3 +229,78 @@ def test_switch_case_with_extra_keys_is_cel():
             {"default_expr": "log.csHost"},
         ]
     }
+
+
+def test_import_and_importstr(tmp_path):
+    """go-jsonnet FileImporter semantics: relative to the importing file,
+    fresh env (imports never see the importer's locals), per-load cache,
+    cycles raise. Functions exported through locals are callable."""
+    from cflog2otel_spark.jsonnet_min import (
+        JsonnetError,
+        evaluate,
+        evaluate_file,
+    )
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "buckets.libsonnet").write_text(
+        "local mk = function(n) std.map(function(i) i * 10.0, std.range(1, n));"
+        "{ mk: mk, default_unit: importstr 'unit.txt' }"
+    )
+    (tmp_path / "sub" / "unit.txt").write_text("ms")
+    (tmp_path / "main.jsonnet").write_text(
+        # `hidden` proves the import evaluates in a fresh env
+        "local hidden = 'should not leak';"
+        "local lib = import 'sub/buckets.libsonnet';"
+        "{ boundaries: lib.mk(3), unit: lib.default_unit }"
+    )
+    out = evaluate_file(str(tmp_path / "main.jsonnet"))
+    assert out == {"boundaries": [10.0, 20.0, 30.0], "unit": "ms"}
+
+    # fresh env: an imported file referencing the importer's local fails
+    (tmp_path / "leaky.jsonnet").write_text("{ v: hidden }")
+    (tmp_path / "main2.jsonnet").write_text(
+        "local hidden = 1; (import 'leaky.jsonnet').v"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(JsonnetError, match="hidden"):
+        evaluate_file(str(tmp_path / "main2.jsonnet"))
+
+    # cycle detection
+    (tmp_path / "a.jsonnet").write_text("import 'b.jsonnet'")
+    (tmp_path / "b.jsonnet").write_text("import 'a.jsonnet'")
+    with _pytest.raises(JsonnetError, match="cycle"):
+        evaluate_file(str(tmp_path / "a.jsonnet"))
+
+    # string-source evaluation has no base dir -> clear error
+    with _pytest.raises(JsonnetError, match="base directory"):
+        evaluate("import 'x.jsonnet'")
+
+    # missing file -> JsonnetError, not OSError
+    (tmp_path / "missing.jsonnet").write_text("import 'nope.jsonnet'")
+    with _pytest.raises(JsonnetError, match="nope"):
+        evaluate_file(str(tmp_path / "missing.jsonnet"))
+
+
+def test_import_through_config_load(tmp_path):
+    """A multi-file user config (metric boundaries from a shared lib)
+    loads through Config.load end-to-end."""
+    from cflog2otel_spark.config import Config
+
+    (tmp_path / "lib.libsonnet").write_text(
+        "{ boundaries: [100.0, 500.0, 1000.0] }"
+    )
+    (tmp_path / "cfg.jsonnet").write_text("""
+local lib = import 'lib.libsonnet';
+local cel = std.native('cel');
+{
+  metrics: [{
+    name: 'request_time',
+    type: 'Histogram',
+    value: cel('log.timeTaken * 1000.0'),
+    boundaries: lib.boundaries,
+  }],
+}
+""")
+    cfg = Config.load(str(tmp_path / "cfg.jsonnet"))
+    assert cfg.metrics[0].boundaries == [100.0, 500.0, 1000.0]
