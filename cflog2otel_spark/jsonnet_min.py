@@ -442,7 +442,8 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
             return a / b  # jsonnet division is float division
         if o == "%":
             if isinstance(a, str):
-                raise JsonnetError("%-formatting is not supported")
+                # jsonnet's str % vals == std.format(str, vals)
+                return _std_format(a, b)
             return a % b
         if o == "==":
             return a == b
@@ -624,14 +625,147 @@ def _std_native(name: str) -> Any:
     return _NATIVES[name]
 
 
+# std.format / the string % operator: the printf subset real configs use
+# (go-jsonnet builtin_format). Conversions s d i f x X o e g, optional
+# width/precision/zero-flag; %d on a jsonnet number (always float)
+# truncates like go-jsonnet.
+_FMT_RE = re.compile(r"%([#0\- +]*)(\d+)?(?:\.(\d+))?([sdifxXoeg%])")
+
+
+def _std_format(fmt: str, vals: Any) -> str:
+    if not isinstance(vals, list):
+        vals = [vals]
+    out: list[str] = []
+    pos = 0
+    idx = 0
+    for m in _FMT_RE.finditer(fmt):
+        out.append(fmt[pos:m.start()])
+        pos = m.end()
+        flags, width, prec, conv = m.groups()
+        if conv == "%":
+            out.append("%")
+            continue
+        if idx >= len(vals):
+            raise JsonnetError(
+                f"std.format: not enough values for {fmt!r}"
+            )
+        v = vals[idx]
+        idx += 1
+        spec = "%" + (flags or "") + (width or "") + (
+            "." + prec if prec is not None else ""
+        )
+        if conv in ("d", "i", "x", "X", "o"):
+            out.append((spec + ("d" if conv == "i" else conv)) % int(v))
+        elif conv in ("f", "e", "g"):
+            out.append((spec + conv) % float(v))
+        else:
+            out.append((spec + "s") % _to_str(v))
+    out.append(fmt[pos:])
+    if idx < len(vals):
+        raise JsonnetError(f"std.format: too many values for {fmt!r}")
+    return "".join(out)
+
+
+def _std_join(sep: Any, arr: Any) -> Any:
+    """jsonnet std.join: string separator joins strings, array separator
+    joins arrays; null elements are skipped."""
+    items = [x for x in arr if x is not None]
+    if isinstance(sep, str):
+        return sep.join(items)
+    out: list = []
+    for i, xs in enumerate(items):
+        if i:
+            out.extend(sep)
+        out.extend(xs)
+    return out
+
+
+def _std_sort(arr: Any, keyF: Any = None) -> list:
+    key = (lambda x: _apply(keyF, [x])) if keyF is not None else (lambda x: x)
+    return sorted(arr, key=key)
+
+
+def _std_uniq(arr: Any) -> list:
+    # jsonnet uniq removes CONSECUTIVE duplicates (use after sort)
+    out: list = []
+    for x in arr:
+        if not out or out[-1] != x:
+            out.append(x)
+    return out
+
+
 _STD = {
     "native": _std_native,
     "map": lambda fn, arr: [_apply(fn, [x]) for x in arr],
+    "mapWithIndex": lambda fn, arr: [
+        _apply(fn, [i, x]) for i, x in enumerate(arr)
+    ],
     "filter": lambda fn, arr: [x for x in arr if _truthy(_apply(fn, [x]))],
+    "foldl": lambda fn, arr, init: __import__("functools").reduce(
+        lambda acc, x: _apply(fn, [acc, x]), arr, init
+    ),
     "range": lambda lo, hi: list(range(int(lo), int(hi) + 1)),
+    "makeArray": lambda n, fn: [_apply(fn, [i]) for i in range(int(n))],
     "length": lambda x: len(x),
-    "join": lambda sep, arr: sep.join(arr),
+    "join": lambda sep, arr: _std_join(sep, arr),
     "toString": _to_str,
+    # strings
+    "split": lambda s, c: s.split(c),
+    "splitLimit": lambda s, c, n: s.split(c, int(n)),
+    "strReplace": lambda s, frm, to: s.replace(frm, to),
+    "substr": lambda s, frm, ln: s[int(frm):int(frm) + int(ln)],
+    "startsWith": lambda a, b: a.startswith(b),
+    "endsWith": lambda a, b: a.endswith(b),
+    "asciiUpper": lambda s: s.upper(),
+    "asciiLower": lambda s: s.lower(),
+    "stringChars": lambda s: list(s),
+    "format": _std_format,
+    "lines": lambda arr: "".join(x + "\n" for x in arr),
+    "parseInt": lambda s: int(s, 10),
+    "parseJson": json.loads,
+    # arrays
+    "member": lambda arr, x: x in arr,
+    "count": lambda arr, x: list(arr).count(x),
+    "sort": _std_sort,
+    "uniq": _std_uniq,
+    "reverse": lambda arr: list(reversed(arr)),
+    "flattenArrays": lambda arrs: [x for xs in arrs for x in xs],
+    # objects (objectFields is SORTED — the jsonnet spec's field order)
+    "objectHas": lambda o, f: f in o and f != "__parent__",
+    "objectFields": lambda o: sorted(k for k in o if k != "__parent__"),
+    "objectValues": lambda o: [
+        o[k] for k in sorted(o) if k != "__parent__"
+    ],
+    "get": lambda o, f, default=None: o.get(f, default),
+    # numbers
+    "abs": abs,
+    "max": max,
+    "min": min,
+    "floor": lambda x: float(__import__("math").floor(x)),
+    "ceil": lambda x: float(__import__("math").ceil(x)),
+    "pow": lambda x, n: float(x) ** float(n),
+    "sqrt": lambda x: float(x) ** 0.5,
+    "mod": lambda a, b: a % b,
+    # type predicates
+    "isString": lambda x: isinstance(x, str),
+    "isNumber": lambda x: isinstance(x, (int, float))
+    and not isinstance(x, bool),
+    "isBoolean": lambda x: isinstance(x, bool),
+    "isArray": lambda x: isinstance(x, list),
+    "isObject": lambda x: isinstance(x, dict),
+    "isFunction": lambda x: isinstance(x, _Fn) or callable(x),
+    "type": lambda x: (
+        "null" if x is None else
+        "boolean" if isinstance(x, bool) else
+        "number" if isinstance(x, (int, float)) else
+        "string" if isinstance(x, str) else
+        "array" if isinstance(x, list) else
+        "object" if isinstance(x, dict) else "function"
+    ),
+    "base64": lambda s: base64.b64encode(
+        s.encode() if isinstance(s, str) else bytes(s)
+    ).decode(),
+    "md5": lambda s: __import__("hashlib").md5(s.encode()).hexdigest(),
 }
 
 

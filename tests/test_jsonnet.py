@@ -304,3 +304,95 @@ local cel = std.native('cel');
 """)
     cfg = Config.load(str(tmp_path / "cfg.jsonnet"))
     assert cfg.metrics[0].boundaries == [100.0, 500.0, 1000.0]
+
+
+def test_std_strings_and_format():
+    """The std string surface added for user .libsonnet files, checked
+    against go-jsonnet's documented semantics (jsonnet.org/ref/stdlib)."""
+    cases = {
+        "std.format('%s=%d', ['a', 3.7])": "a=3",       # %d truncates
+        "std.format('%05.2f', 3.14159)": "03.14",
+        "std.format('%x / %o / %X', [255, 8, 255])": "ff / 10 / FF",
+        "std.format('100%% of %s', 'it')": "100% of it",
+        "'%s-%s' % ['a', 'b']": "a-b",                   # % op == format
+        "'%d' % 42": "42",                               # scalar rhs
+        "std.split('a,b,,c', ',')": ["a", "b", "", "c"],
+        "std.splitLimit('a,b,c', ',', 1)": ["a", "b,c"],
+        "std.strReplace('aXbXc', 'X', '-')": "a-b-c",
+        "std.substr('hello', 1, 3)": "ell",
+        "std.startsWith('hello', 'he')": True,
+        "std.endsWith('hello', 'lo')": True,
+        "std.asciiUpper('aB3')": "AB3",
+        "std.asciiLower('aB3')": "ab3",
+        "std.stringChars('abc')": ["a", "b", "c"],
+        "std.lines(['a', 'b'])": "a\nb\n",
+        "std.parseInt('-42')": -42,
+        "std.parseJson('{\"a\": [1, 2]}')": {"a": [1, 2]},
+    }
+    for src, want in cases.items():
+        assert evaluate(src) == want, src
+    with pytest.raises(JsonnetError, match="not enough"):
+        evaluate("std.format('%s %s', ['only'])")
+    with pytest.raises(JsonnetError, match="too many"):
+        evaluate("std.format('%s', ['a', 'b'])")
+
+
+def test_std_arrays_objects_numbers():
+    cases = {
+        "std.mapWithIndex(function(i, x) i + x, [10, 20])": [10.0, 21.0],
+        "std.foldl(function(a, b) a + b, [1, 2, 3], 100)": 106.0,
+        "std.makeArray(3, function(i) i * 2)": [0.0, 2.0, 4.0],
+        "std.member([1, 2], 2)": True,
+        "std.member([1, 2], 5)": False,
+        "std.count(['a', 'b', 'a'], 'a')": 2,
+        "std.sort([3, 1, 2])": [1.0, 2.0, 3.0],
+        "std.sort(['bb', 'a'], function(x) std.length(x))": ["a", "bb"],
+        "std.uniq([1, 1, 2, 1])": [1.0, 2.0, 1.0],  # consecutive only
+        "std.reverse([1, 2])": [2.0, 1.0],
+        "std.flattenArrays([[1], [2, 3]])": [1.0, 2.0, 3.0],
+        "std.join(', ', ['a', null, 'b'])": "a, b",  # nulls skipped
+        "std.join([0], [[1], [2]])": [1.0, 0.0, 2.0],
+        # objectFields is SORTED per the jsonnet spec
+        "std.objectFields({b: 1, a: 2})": ["a", "b"],
+        "std.objectValues({b: 1, a: 2})": [2.0, 1.0],
+        "std.objectHas({a: 1}, 'a')": True,
+        "std.objectHas({a: 1}, 'z')": False,
+        "std.get({a: 1}, 'z', 'dflt')": "dflt",
+        "std.abs(-3)": 3.0,
+        "std.max(2, 5)": 5.0,
+        "std.min(2, 5)": 2.0,
+        "std.floor(3.9)": 3.0,
+        "std.ceil(3.1)": 4.0,
+        "std.pow(2, 10)": 1024.0,
+        "std.sqrt(16)": 4.0,
+        "std.mod(7, 3)": 1.0,
+        "std.isString('x')": True,
+        "std.isNumber(true)": False,  # bool is NOT a number
+        "std.isBoolean(false)": True,
+        "std.isArray([])": True,
+        "std.isObject({})": True,
+        "std.isFunction(function(x) x)": True,
+        "std.type(null)": "null",
+        "std.type([1])": "array",
+        "std.md5('abc')": "900150983cd24fb0d6963f7d28e17f72",
+        "std.base64('hello')": "aGVsbG8=",
+    }
+    for src, want in cases.items():
+        assert evaluate(src) == want, src
+
+
+def test_std_inherited_field_visibility(tmp_path):
+    """objectFields/objectHas over an object built through local bindings
+    and import composition — the shape a user .libsonnet produces (the
+    evaluator's subset has no `self`)."""
+    (tmp_path / "lib.libsonnet").write_text(
+        "local a = 1; { a: a, b: a + 1 }"
+    )
+    (tmp_path / "m.jsonnet").write_text(
+        "local o = import 'lib.libsonnet';\n"
+        "{ fields: std.objectFields(o), has: std.objectHas(o, 'b') }"
+    )
+    from cflog2otel_spark.jsonnet_min import evaluate_file
+
+    got = evaluate_file(str(tmp_path / "m.jsonnet"))
+    assert got == {"fields": ["a", "b"], "has": True}
