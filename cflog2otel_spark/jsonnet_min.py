@@ -8,20 +8,33 @@ in Python — no external jsonnet binding required:
 
   - // , # and /* */ comments
   - local bindings, including function bindings
-    (`local f(a, b) = expr;`) and anonymous `function(x) expr`
+    (`local f(a, b) = expr;`) and anonymous `function(x) expr`;
+    parameter defaults and named call arguments
   - object / array / string ('' or "") / number / true / false / null
     literals, trailing commas
+  - go-jsonnet object orientation: late-bound `self`, `super`, `$`,
+    object composition `a + b` and the sugar `a { ... }`, hidden
+    fields `::` (and `:::`), field merge `+:`, field functions
+    (methods), object-level locals and asserts, computed field names
+    with `[null]` elision
+  - array and object comprehensions (`for`/`if` clauses), the `in`
+    operator (sees hidden fields, like jsonnet), slices a[lo:hi:step]
   - arithmetic + - * / % with jsonnet precedence, unary ! and -,
-    comparisons, == !=, && ||, if/then/else
+    comparisons, == != (deep value equality), && ||, if/then/else,
+    `assert cond : msg; expr`, `error expr`
   - string concatenation via + (either side a string, like jsonnet),
-    array concatenation, shallow object merge
+    string %-formatting (== std.format), array concatenation
   - field access a.b, indexing a[i], function calls
-  - std.native(name) plus the std functions the reference's configs use
-    (map, range, filter, length, join, toString)
+  - std.native(name) plus the std library surface real configs use
+    (strings/arrays/objects/numbers/type predicates — see _STD)
   - `import 'lib.libsonnet'` / `importstr 'file.txt'` with go-jsonnet
     FileImporter semantics: paths resolve relative to the importing
     file, files evaluate in a fresh env (only std visible) and are
     cached per load, cycles raise
+
+Top-level evaluation manifests the result exactly like go-jsonnet:
+hidden fields are dropped, object asserts run, visible function values
+are an error.
 
 Anything outside the subset raises JsonnetError with a position, which
 Config.load wraps into ConfigError — the reference's invalid_syntax.jsonnet
@@ -62,14 +75,14 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
-  | (?P<op>\|\||&&|==|!=|<=|>=|[{}\[\]():;,.=+\-*/%<>!])
+  | (?P<op>\|\||&&|==|!=|<=|>=|:::|::|[{}\[\]():;,.=+\-*/%<>!$])
     """,
     re.VERBOSE | re.DOTALL,
 )
 
 _KEYWORDS = {"local", "function", "if", "then", "else", "true", "false", "null",
              "import", "importstr", "self", "super", "assert", "error", "in",
-             "tailstrict"}
+             "for", "tailstrict"}
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
             '"': '"', "'": "'", "\\": "\\", "/": "/"}
@@ -193,8 +206,18 @@ class _Parser:
         if k == "function":
             self.next()
             return ("fn", self._params(), self.expr())
-        if k in ("self", "super", "assert", "error"):
-            raise JsonnetError(f"line {line}: {k!r} is not supported")
+        if k == "assert":
+            self.next()
+            cond = self.expr()
+            msg = None
+            if self.peek()[:2] == ("op", ":"):
+                self.next()
+                msg = self.expr()
+            self.expect("op", ";")
+            return ("assert", cond, msg, self.expr(), line)
+        if k == "error":
+            self.next()
+            return ("error", self.expr(), line)
         return self._binary(0)
 
     def _bind(self) -> tuple[str, list[str] | None, Any]:
@@ -205,11 +228,17 @@ class _Parser:
         self.expect("op", "=")
         return (name, params, self.expr())
 
-    def _params(self) -> list[str]:
+    def _params(self) -> list[tuple[str, Any]]:
+        # each param is (name, default_ast | None) — jsonnet optional args
         self.expect("op", "(")
-        params: list[str] = []
+        params: list[tuple[str, Any]] = []
         while self.peek()[:2] != ("op", ")"):
-            params.append(self.expect("ident")[1])
+            name = self.expect("ident")[1]
+            default = None
+            if self.peek()[:2] == ("op", "="):
+                self.next()
+                default = self.expr()
+            params.append((name, default))
             if self.peek()[:2] == ("op", ","):
                 self.next()
         self.expect("op", ")")
@@ -221,12 +250,30 @@ class _Parser:
         left = self._binary(level + 1)
         while True:
             k, v, _ = self.peek()
-            if k == "op" and v in _BIN_LEVELS[level]:
+            # `in` sits at comparison precedence (jsonnet spec)
+            if (k == "op" and v in _BIN_LEVELS[level]) or (
+                k == "in" and "<" in _BIN_LEVELS[level]
+            ):
                 self.next()
                 right = self._binary(level + 1)
-                left = ("bin", v, left, right)
+                left = ("bin", "in" if k == "in" else v, left, right)
             else:
                 return left
+
+    def _compspec(self) -> list[tuple]:
+        clauses: list[tuple] = []
+        while True:
+            k, _, _ = self.peek()
+            if k == "for":
+                self.next()
+                name = self.expect("ident")[1]
+                self.expect("in")
+                clauses.append(("for", name, self.expr()))
+            elif k == "if":
+                self.next()
+                clauses.append(("if", self.expr()))
+            else:
+                return clauses
 
     def _unary(self) -> Any:
         k, v, _ = self.peek()
@@ -246,21 +293,60 @@ class _Parser:
             elif (k, v) == ("op", "("):
                 self.next()
                 args: list[Any] = []
+                kwargs: list[tuple[str, Any]] = []
                 while self.peek()[:2] != ("op", ")"):
-                    args.append(self.expr())
+                    # `name = expr` is a named argument (`==` lexes as one
+                    # token, so a bare `=` after an ident is unambiguous)
+                    if (
+                        self.peek()[0] == "ident"
+                        and self.toks[self.i + 1][:2] == ("op", "=")
+                    ):
+                        aname = self.next()[1]
+                        self.next()
+                        kwargs.append((aname, self.expr()))
+                    else:
+                        if kwargs:
+                            raise JsonnetError(
+                                f"line {line}: positional argument after named"
+                            )
+                        args.append(self.expr())
                     if self.peek()[:2] == ("op", ","):
                         self.next()
                 self.expect("op", ")")
-                e = ("call", e, args)
+                if self.peek()[0] == "tailstrict":
+                    self.next()  # accepted and ignored (we are strict anyway)
+                e = ("call", e, args, kwargs)
             elif (k, v) == ("op", "["):
                 self.next()
-                idx = self.expr()
+                start = end = step = None
+                is_slice = False
+                if self.peek()[:2] not in (("op", ":"), ("op", "::")):
+                    start = self.expr()
+                if self.peek()[:2] == ("op", "::"):
+                    self.next()
+                    is_slice = True
+                    if self.peek()[:2] != ("op", "]"):
+                        step = self.expr()
+                elif self.peek()[:2] == ("op", ":"):
+                    self.next()
+                    is_slice = True
+                    if self.peek()[:2] not in (("op", "]"), ("op", ":")):
+                        end = self.expr()
+                    if self.peek()[:2] == ("op", ":"):
+                        self.next()
+                        if self.peek()[:2] != ("op", "]"):
+                            step = self.expr()
                 self.expect("op", "]")
-                e = ("index", e, idx)
+                if is_slice:
+                    e = ("slice", e, start, end, step)
+                elif start is None:
+                    raise JsonnetError(f"line {line}: empty index")
+                else:
+                    e = ("index", e, start)
             elif (k, v) == ("op", "{"):
-                raise JsonnetError(
-                    f"line {line}: object composition (expr {{...}}) is not supported"
-                )
+                # object composition sugar: expr { ... } == expr + { ... }
+                self.next()
+                e = ("bin", "+", e, self._objinside(line))
             else:
                 return e
 
@@ -281,6 +367,21 @@ class _Parser:
             return (k,)
         if k == "ident":
             return ("ident", v)
+        if k == "self":
+            return ("self", line)
+        if (k, v) == ("op", "$"):
+            return ("dollar", line)
+        if k == "super":
+            nk, nv, nl = self.next()
+            if (nk, nv) == ("op", "."):
+                return ("superfield", ("str", self.expect("ident")[1]), nl)
+            if (nk, nv) == ("op", "["):
+                key = self.expr()
+                self.expect("op", "]")
+                return ("superfield", key, nl)
+            raise JsonnetError(
+                f"line {nl}: super must be followed by '.' or '['"
+            )
         if (k, v) == ("op", "("):
             e = self.expr()
             self.expect("op", ")")
@@ -289,30 +390,98 @@ class _Parser:
             items: list[Any] = []
             while self.peek()[:2] != ("op", "]"):
                 items.append(self.expr())
+                if self.peek()[0] == "for" and len(items) == 1:
+                    clauses = self._compspec()
+                    self.expect("op", "]")
+                    return ("arrcomp", items[0], clauses)
                 if self.peek()[:2] == ("op", ","):
                     self.next()
+                    if self.peek()[0] == "for" and len(items) == 1:
+                        clauses = self._compspec()
+                        self.expect("op", "]")
+                        return ("arrcomp", items[0], clauses)
             self.expect("op", "]")
             return ("arr", items)
         if (k, v) == ("op", "{"):
-            fields: list[tuple[Any, Any]] = []
-            while self.peek()[:2] != ("op", "}"):
-                fk, fv, fline = self.next()
-                if fk == "ident":
-                    key: Any = ("str", fv)
-                elif fk == "string":
-                    key = ("str", _unquote(fv))
-                elif (fk, fv) == ("op", "["):
-                    key = self.expr()
-                    self.expect("op", "]")
-                else:
-                    raise JsonnetError(f"line {fline}: bad object key {fv!r}")
-                self.expect("op", ":")
-                fields.append((key, self.expr()))
-                if self.peek()[:2] == ("op", ","):
-                    self.next()
-            self.expect("op", "}")
-            return ("obj", fields)
+            return self._objinside(line)
         raise JsonnetError(f"line {line}: unexpected token {v!r}")
+
+    def _objinside(self, line: int) -> Any:
+        """Object body after '{': fields (with ::/::: visibility, +: merge,
+        field functions), object-level locals, asserts, or a single-field
+        object comprehension. Returns ('objlit', locals, asserts, fields,
+        compspec|None, line)."""
+        locals_: list[tuple] = []
+        asserts: list[tuple] = []
+        fields: list[tuple] = []
+        comp = None
+        while self.peek()[:2] != ("op", "}"):
+            k, v, fline = self.peek()
+            if k == "for":
+                comp = self._compspec()
+                break
+            if k == "local":
+                self.next()
+                locals_.append(self._bind())
+            elif k == "assert":
+                self.next()
+                cond = self.expr()
+                msg = None
+                if self.peek()[:2] == ("op", ":"):
+                    self.next()
+                    msg = self.expr()
+                asserts.append((cond, msg, fline))
+            else:
+                fields.append(self._objfield())
+            if self.peek()[:2] == ("op", ","):
+                self.next()
+            elif self.peek()[0] == "for":
+                comp = self._compspec()
+                break
+            else:
+                break
+        self.expect("op", "}")
+        if comp is not None:
+            if (
+                len(fields) != 1
+                or not fields[0][1]  # key must be computed: { [k]: v for.. }
+                or fields[0][2] is not None
+                or fields[0][3]
+                or asserts
+            ):
+                raise JsonnetError(
+                    f"line {line}: object comprehension needs exactly one "
+                    "[computed]: value field (no +:, methods, or asserts)"
+                )
+        return ("objlit", locals_, asserts, fields, comp, line)
+
+    def _objfield(self) -> tuple:
+        """One object field: (key_ast, computed, params|None, plus, vis,
+        body_ast)."""
+        fk, fv, fline = self.next()
+        if fk == "ident":
+            key: Any = ("str", fv)
+            computed = False
+        elif fk == "string":
+            key = ("str", _unquote(fv))
+            computed = False
+        elif (fk, fv) == ("op", "["):
+            key = self.expr()
+            self.expect("op", "]")
+            computed = True
+        else:
+            raise JsonnetError(f"line {fline}: bad object key {fv!r}")
+        params = None
+        if self.peek()[:2] == ("op", "("):
+            params = self._params()
+        plus = False
+        if self.peek()[:2] == ("op", "+"):
+            self.next()
+            plus = True
+        nk, nv, nl = self.next()
+        if (nk, nv) not in (("op", ":"), ("op", "::"), ("op", ":::")):
+            raise JsonnetError(f"line {nl}: expected ':' in field, got {nv!r}")
+        return (key, computed, params, plus, nv, self.expr())
 
 
 # -------------------------------------------------------------- evaluator --
@@ -323,6 +492,157 @@ class _Fn:
 
     def __init__(self, params, body, env, name="anonymous"):
         self.params, self.body, self.env, self.name = params, body, env, name
+
+
+class _Thunk:
+    """Lazily evaluated binding (object-level locals, parameter defaults) —
+    forced at most once per scope by ident lookup."""
+
+    __slots__ = ("params", "ast", "env", "name", "done", "value")
+
+    def __init__(self, params, ast, env, name):
+        self.params, self.ast, self.env, self.name = params, ast, env, name
+        self.done = False
+        self.value = None
+
+    def force(self) -> Any:
+        if not self.done:
+            if self.params is not None:
+                self.value = _Fn(self.params, self.ast, self.env, self.name)
+            else:
+                self.value = _eval(self.ast, self.env)
+            self.done = True
+        return self.value
+
+
+class _FieldDef:
+    __slots__ = ("vis", "plus", "params", "body", "env")
+
+    def __init__(self, vis, plus, params, body, env=None):
+        self.vis, self.plus, self.params = vis, plus, params
+        self.body, self.env = body, env
+
+
+class _Layer:
+    __slots__ = ("fields", "locals", "asserts", "env")
+
+    def __init__(self, fields, locals_, asserts, env):
+        self.fields, self.locals = fields, locals_
+        self.asserts, self.env = asserts, env
+
+
+def _lookup_opt(env: dict[str, Any] | None, name: str) -> Any:
+    scope = env
+    while scope is not None:
+        if name in scope:
+            return scope[name]
+        scope = scope.get("__parent__")
+    return None
+
+
+class _Obj:
+    """A jsonnet object: an ordered stack of literal layers (rightmost
+    wins), with go-jsonnet late binding — `self` in any field body refers
+    to the COMPOSED object, so `{a: self.b, b: 1} + {b: 2}` gives a == 2.
+    Field bodies are thunks evaluated on access and cached per resolved
+    (name, layer); hidden (`::`) fields participate in lookup but are
+    dropped on manifestation, exactly like go-jsonnet (the reference's VM,
+    jsonnet.go:240-247)."""
+
+    __slots__ = ("layers", "_cache", "_checked")
+
+    def __init__(self, layers):
+        self.layers = layers
+        self._cache: dict[tuple[str, int], Any] = {}
+        self._checked = False
+
+    def _find(self, name: str, below: int | None = None) -> int:
+        i = (len(self.layers) if below is None else below) - 1
+        while i >= 0:
+            if name in self.layers[i].fields:
+                return i
+            i -= 1
+        return -1
+
+    def field_names(self, hidden: bool = False) -> list[str]:
+        vis: dict[str, bool] = {}
+        for layer in self.layers:
+            for n, fd in layer.fields.items():
+                if fd.vis == "::":
+                    vis[n] = False
+                elif fd.vis == ":::":
+                    vis[n] = True
+                elif n not in vis:  # ':' keeps the inherited visibility
+                    vis[n] = True
+        return sorted(n for n, v in vis.items() if v or hidden)
+
+    def has(self, name: str, hidden: bool = False) -> bool:
+        if self._find(name) < 0:
+            return False
+        return hidden or name in self.field_names()
+
+    def get(self, name: str, below: int | None = None) -> Any:
+        i = self._find(name, below)
+        if i < 0:
+            raise JsonnetError(f"field {name!r} not found")
+        key = (name, i)
+        if key in self._cache:
+            return self._cache[key]
+        self.check_asserts()
+        layer = self.layers[i]
+        fd = layer.fields[name]
+        env = self._member_env(layer, fd.env, i)
+        if fd.body[0] == "const":
+            val = fd.body[1]
+        elif fd.params is not None:
+            val = _Fn(fd.params, fd.body, env, name)
+        else:
+            val = _eval(fd.body, env)
+        if fd.plus and self._find(name, below=i) >= 0:
+            val = _add(self.get(name, below=i), val)
+        self._cache[key] = val
+        return val
+
+    def _member_env(self, layer: _Layer, fd_env, i: int) -> dict[str, Any]:
+        base = fd_env if fd_env is not None else layer.env
+        env: dict[str, Any] = {
+            "__parent__": base,
+            "__objself__": self,
+            "__objlayer__": i,
+        }
+        # `$` = self of the OUTERMOST lexically enclosing object: bind it
+        # here only when no enclosing object already did.
+        if _lookup_opt(base, "__dollar__") is None:
+            env["__dollar__"] = self
+        for lname, lparams, last in layer.locals:
+            env[lname] = _Thunk(lparams, last, env, lname)
+        return env
+
+    def check_asserts(self) -> None:
+        if self._checked:
+            return
+        self._checked = True  # set first: asserts may access self's fields
+        for i, layer in enumerate(self.layers):
+            for cond, msg, line in layer.asserts:
+                env = self._member_env(layer, None, i)
+                if not _truthy(_eval(cond, env)):
+                    m = (
+                        _to_str(_eval(msg, env))
+                        if msg is not None
+                        else "object assertion failed"
+                    )
+                    raise JsonnetError(f"line {line}: {m}")
+
+
+def _as_obj(d: Any) -> _Obj:
+    if isinstance(d, _Obj):
+        return d
+    fields = {
+        k: _FieldDef(":", False, None, ("const", v))
+        for k, v in d.items()
+        if k != "__parent__"
+    }
+    return _Obj([_Layer(fields, [], [], None)])
 
 
 def _truthy(v: Any) -> bool:
@@ -342,7 +662,7 @@ def _to_str(v: Any) -> str:
         return str(int(v))
     if isinstance(v, (int, float)):
         return str(v)
-    return json.dumps(v)
+    return json.dumps(_manifest(v))
 
 
 def _add(a: Any, b: Any) -> Any:
@@ -350,9 +670,25 @@ def _add(a: Any, b: Any) -> Any:
         return _to_str(a) + _to_str(b)
     if isinstance(a, list) and isinstance(b, list):
         return a + b
-    if isinstance(a, dict) and isinstance(b, dict):
+    if isinstance(a, (dict, _Obj)) and isinstance(b, (dict, _Obj)):
+        if isinstance(a, _Obj) or isinstance(b, _Obj):
+            # late-binding object composition: stack b's layers over a's
+            return _Obj(_as_obj(a).layers + _as_obj(b).layers)
         return {**a, **b}
     return a + b
+
+
+def _plain(v: Any) -> Any:
+    """Convert _Obj values to plain visible-field dicts (recursively) for
+    the std/native builtin boundary and for == comparisons; leaves
+    functions and scalars untouched."""
+    if isinstance(v, _Obj):
+        return _manifest(v)
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict) and not isinstance(v, _Std):
+        return {k: _plain(x) for k, x in v.items() if k != "__parent__"}
+    return v
 
 
 def _eval(node: Any, env: dict[str, Any]) -> Any:
@@ -372,7 +708,11 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
         scope = env
         while scope is not None:
             if name in scope:
-                return scope[name]
+                val = scope[name]
+                if isinstance(val, _Thunk):
+                    val = val.force()
+                    scope[name] = val
+                return val
             scope = scope.get("__parent__")
         raise JsonnetError(f"unknown variable {name!r}")
     if op in ("import", "importstr"):
@@ -384,22 +724,86 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
                 _Fn(params, expr, child, name) if params is not None else _eval(expr, child)
             )
         return _eval(node[2], child)
-    if op == "obj":
-        out = {}
-        for key_node, val_node in node[1]:
-            key = _eval(key_node, env)
-            if not isinstance(key, str):
-                raise JsonnetError("object key must be a string")
-            out[key] = _eval(val_node, env)
-        return out
+    if op == "objlit":
+        _, locals_, asserts, fields, comp, line = node
+        flds: dict[str, _FieldDef] = {}
+        if comp is None:
+            for key_ast, computed, params, plus, vis, body in fields:
+                keyv = _eval(key_ast, env) if computed else key_ast[1]
+                if keyv is None:
+                    continue  # [null]: field is elided, per the spec
+                if not isinstance(keyv, str):
+                    raise JsonnetError(
+                        f"line {line}: object key must be a string"
+                    )
+                if keyv in flds:
+                    raise JsonnetError(
+                        f"line {line}: duplicate field {keyv!r}"
+                    )
+                flds[keyv] = _FieldDef(vis, plus, params, body)
+        else:
+            key_ast, _, _, _, vis, body = fields[0]
+            for bound in _expand(comp, env):
+                keyv = _eval(key_ast, bound)
+                if keyv is None:
+                    continue
+                if not isinstance(keyv, str):
+                    raise JsonnetError(
+                        f"line {line}: object key must be a string"
+                    )
+                if keyv in flds:
+                    raise JsonnetError(
+                        f"line {line}: duplicate field {keyv!r} in "
+                        "object comprehension"
+                    )
+                flds[keyv] = _FieldDef(vis, False, None, body, bound)
+        return _Obj([_Layer(flds, locals_, asserts, env)])
     if op == "arr":
         return [_eval(x, env) for x in node[1]]
+    if op == "arrcomp":
+        return [_eval(node[1], bound) for bound in _expand(node[2], env)]
+    if op == "self":
+        me = _lookup_opt(env, "__objself__")
+        if me is None:
+            raise JsonnetError(f"line {node[1]}: self used outside an object")
+        return me
+    if op == "dollar":
+        me = _lookup_opt(env, "__dollar__")
+        if me is None:
+            raise JsonnetError(f"line {node[1]}: $ used outside an object")
+        return me
+    if op == "superfield":
+        me = _lookup_opt(env, "__objself__")
+        layer = _lookup_opt(env, "__objlayer__")
+        if me is None or layer is None:
+            raise JsonnetError(
+                f"line {node[2]}: super used outside an object"
+            )
+        if layer == 0:
+            raise JsonnetError(
+                f"line {node[2]}: attempt to use super when there is no "
+                "super object"
+            )
+        name = _eval(node[1], env)
+        if not isinstance(name, str):
+            raise JsonnetError(f"line {node[2]}: super index must be a string")
+        return me.get(name, below=layer)
+    if op == "assert":
+        _, cond, msg, rest, line = node
+        if not _truthy(_eval(cond, env)):
+            m = _to_str(_eval(msg, env)) if msg is not None else "assertion failed"
+            raise JsonnetError(f"line {line}: {m}")
+        return _eval(rest, env)
+    if op == "error":
+        raise JsonnetError(f"line {node[2]}: error: {_to_str(_eval(node[1], env))}")
     if op == "if":
         return _eval(node[2] if _truthy(_eval(node[1], env)) else node[3], env)
     if op == "fn":
         return _Fn(node[1], node[2], env)
     if op == "field":
         obj = _eval(node[1], env)
+        if isinstance(obj, _Obj):
+            return obj.get(node[2])
         if isinstance(obj, dict):
             if node[2] in obj:
                 return obj[node[2]]
@@ -409,15 +813,26 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
     if op == "index":
         obj = _eval(node[1], env)
         idx = _eval(node[2], env)
-        if isinstance(obj, list):
+        if isinstance(obj, (list, str)):
             return obj[int(idx)]
+        if isinstance(obj, _Obj):
+            return obj.get(idx)
         if isinstance(obj, dict):
             return obj[idx]
         raise JsonnetError(f"cannot index {type(obj).__name__}")
+    if op == "slice":
+        seq = _eval(node[1], env)
+        lo, hi, st = (
+            None if x is None else int(_eval(x, env)) for x in node[2:5]
+        )
+        if not isinstance(seq, (list, str)):
+            raise JsonnetError(f"cannot slice {type(seq).__name__}")
+        return seq[lo:hi:st]
     if op == "call":
         fn = _eval(node[1], env)
         args = [_eval(a, env) for a in node[2]]
-        return _apply(fn, args)
+        kwargs = {k: _eval(a, env) for k, a in node[3]}
+        return _apply(fn, args, kwargs)
     if op == "un":
         v = _eval(node[2], env)
         if node[1] == "!":
@@ -445,10 +860,18 @@ def _eval(node: Any, env: dict[str, Any]) -> Any:
                 # jsonnet's str % vals == std.format(str, vals)
                 return _std_format(a, b)
             return a % b
-        if o == "==":
-            return a == b
-        if o == "!=":
-            return a != b
+        if o == "in":
+            if isinstance(b, _Obj):
+                return b.has(a, hidden=True)  # `in` sees hidden fields
+            if isinstance(b, dict):
+                return a in b and a != "__parent__"
+            raise JsonnetError("'in' needs an object on the right")
+        if o in ("==", "!="):
+            if isinstance(a, (dict, list, _Obj)) or isinstance(
+                b, (dict, list, _Obj)
+            ):
+                a, b = _plain(a), _plain(b)
+            return (a == b) if o == "==" else (a != b)
         if o == "<":
             return a < b
         if o == "<=":
@@ -514,16 +937,61 @@ def _do_import(kind: str, rel: str, env: dict[str, Any]) -> Any:
     return value
 
 
-def _apply(fn: Any, args: list[Any]) -> Any:
+def _expand(clauses: list[tuple], env: dict[str, Any]):
+    """Comprehension clause expansion: yields one env per binding combo,
+    left-to-right nesting with `if` filters, like the jsonnet spec."""
+    if not clauses:
+        yield env
+        return
+    head, rest = clauses[0], clauses[1:]
+    if head[0] == "for":
+        _, name, arr_ast = head
+        arr = _eval(arr_ast, env)
+        if not isinstance(arr, list):
+            raise JsonnetError(
+                f"comprehension 'for {name}' needs an array, got "
+                f"{type(arr).__name__}"
+            )
+        for x in arr:
+            yield from _expand(rest, {"__parent__": env, name: x})
+    else:
+        if _truthy(_eval(head[1], env)):
+            yield from _expand(rest, env)
+
+
+def _apply(fn: Any, args: list[Any], kwargs: dict[str, Any] | None = None) -> Any:
+    kwargs = kwargs or {}
     if callable(fn) and not isinstance(fn, _Fn):
-        return fn(*args)
+        # std/native builtins operate on plain JSON data, never on the
+        # lazy object representation
+        return fn(
+            *[_plain(a) for a in args],
+            **{k: _plain(v) for k, v in kwargs.items()},
+        )
     if not isinstance(fn, _Fn):
         raise JsonnetError(f"not callable: {type(fn).__name__}")
-    if len(args) != len(fn.params):
+    names = [p for p, _ in fn.params]
+    if len(args) > len(names):
         raise JsonnetError(
-            f"{fn.name}: expected {len(fn.params)} argument(s), got {len(args)}"
+            f"{fn.name}: expected at most {len(names)} argument(s), "
+            f"got {len(args)}"
         )
-    child = {"__parent__": fn.env, **dict(zip(fn.params, args))}
+    bound = dict(zip(names, args))
+    for k, v in kwargs.items():
+        if k not in names:
+            raise JsonnetError(f"{fn.name}: unexpected argument {k!r}")
+        if k in bound:
+            raise JsonnetError(f"{fn.name}: argument {k!r} given twice")
+        bound[k] = v
+    child: dict[str, Any] = {"__parent__": fn.env}
+    for pname, pdefault in fn.params:
+        if pname in bound:
+            child[pname] = bound[pname]
+        elif pdefault is not None:
+            # defaults are lazy and may reference other parameters
+            child[pname] = _Thunk(None, pdefault, child, pname)
+        else:
+            raise JsonnetError(f"{fn.name}: missing argument {pname!r}")
     return _eval(fn.body, child)
 
 
@@ -798,9 +1266,15 @@ def evaluate(
 
 
 def _manifest(v: Any) -> Any:
-    """Force to JSON-able (functions cannot appear in the output)."""
+    """Force to JSON-able (functions cannot appear in the output). Objects
+    manifest their VISIBLE fields in sorted order and run their asserts,
+    like go-jsonnet; hidden (::) fields — where helper functions live —
+    are dropped."""
     if isinstance(v, _Fn) or callable(v):
         raise JsonnetError("function values cannot appear in the output")
+    if isinstance(v, _Obj):
+        v.check_asserts()
+        return {n: _manifest(v.get(n)) for n in v.field_names()}
     if isinstance(v, dict):
         return {k: _manifest(x) for k, x in v.items() if k != "__parent__"}
     if isinstance(v, list):

@@ -132,7 +132,8 @@ def test_language_subset():
     # import is now supported — but only with a base directory (file load)
     with pytest.raises(JsonnetError, match="base directory"):
         evaluate("import 'x.libsonnet'")
-    with pytest.raises(JsonnetError, match="not supported"):
+    # self is supported now — but only inside an object
+    with pytest.raises(JsonnetError, match="outside an object"):
         evaluate("self.x")
     with pytest.raises(JsonnetError, match="std.thisDoesNotExist"):
         evaluate("std.thisDoesNotExist(1)")
@@ -396,3 +397,93 @@ def test_std_inherited_field_visibility(tmp_path):
 
     got = evaluate_file(str(tmp_path / "m.jsonnet"))
     assert got == {"fields": ["a", "b"], "has": True}
+
+
+def test_object_orientation():
+    """go-jsonnet object semantics: late-bound self, super chains, hidden
+    fields, +: merge, $, composition sugar — checked against the
+    behavior of the real interpreter (the reference embeds go-jsonnet,
+    jsonnet.go:240-247)."""
+    cases = {
+        # self late-binds to the COMPOSED object
+        "{a: self.b, b: 1} + {b: 2}": {"a": 2.0, "b": 2.0},
+        "{a: 1, b: 2} + {a: super.a + 10}": {"a": 11.0, "b": 2.0},
+        # hidden (::) fields resolve but never manifest
+        "{f:: 5, g: self.f + 1}": {"g": 6.0},
+        "{f:: 1} + {f::: 2}": {"f": 2.0},   # ::: forces visible
+        "{f:: 1} + {f: 2}": {},             # ':' keeps inherited hiddenness
+        # +: merges with the super value
+        "{a: [1], o: {x: 1}} + {a+: [2], o+: {y: 2}}": {
+            "a": [1.0, 2.0], "o": {"x": 1.0, "y": 2.0}},
+        # $ is the outermost object's (late-bound) self
+        "{a: 1, b: {c: $.a}}": {"a": 1.0, "b": {"c": 1.0}},
+        "local x = {a: $.b, b: 1}; x + {b: 7}": {"a": 7.0, "b": 7.0},
+        # composition sugar  base { ... }  ==  base + { ... }
+        "local base = {a: 1}; base {b: 2}": {"a": 1.0, "b": 2.0},
+        # field functions (methods), named args, parameter defaults
+        "{f(x, y=10):: x + y, g: self.f(1), h: self.f(1, y=2)}": {
+            "g": 11.0, "h": 3.0},
+        "{local n = 3, a: n * 2}": {"a": 6.0},  # object-level locals
+        "{n: 2, double():: self.n * 2, v: self.double()}": {
+            "n": 2.0, "v": 4.0},
+        # super walks the whole layer stack
+        "{a: 1} + {a: super.a + 1} + {a: super.a + 1}": {"a": 3.0},
+        "local o = {x: 1} + {y: 2}; std.objectFields(o)": ["x", "y"],
+        "{[if false then 'k']: 1, a: 2}": {"a": 2.0},  # [null] elided
+    }
+    for src, want in cases.items():
+        assert evaluate(src) == want, src
+
+
+def test_comprehensions_slices_in_assert_error():
+    cases = {
+        "[x * x for x in std.range(1, 4) if x != 2]": [1.0, 9.0, 16.0],
+        "{[k]: std.length(k) for k in ['a', 'bb']}": {"a": 1, "bb": 2},
+        "local o = {a:: 1}; ['a' in o, 'b' in o]": [True, False],
+        "local a = [0, 1, 2, 3, 4]; [a[1:3], a[::2], 'hello'[1:4]]": [
+            [0.0, 1.0, 2.0, 3.0, 4.0][1:3], [0.0, 2.0, 4.0], "ell"],
+        "assert 1 < 2 : 'bad'; 42": 42,
+        # nested comprehension clauses
+        "[[x, y] for x in [1, 2] for y in [10] if x > 1]": [[2.0, 10.0]],
+    }
+    for src, want in cases.items():
+        assert evaluate(src) == want, src
+    with pytest.raises(JsonnetError, match="error: boom"):
+        evaluate("error 'boom'")
+    with pytest.raises(JsonnetError, match="nope"):
+        evaluate("assert false : 'nope'; 1")
+    with pytest.raises(JsonnetError, match="neg"):
+        evaluate("{assert self.a > 0 : 'neg', a: -1}")
+    with pytest.raises(JsonnetError, match="duplicate"):
+        evaluate("{a: 1, a: 2}")
+    with pytest.raises(JsonnetError, match="no super object"):
+        evaluate("{a: super.a}")
+
+
+def test_oo_through_config_load(tmp_path):
+    """A user config written the way go-jsonnet users actually write them:
+    a base .libsonnet with hidden helper methods, overridden via
+    composition sugar."""
+    from cflog2otel_spark.config import Config
+
+    (tmp_path / "base.libsonnet").write_text("""
+{
+  bucket(lo, n):: [lo * std.pow(2, i) for i in std.range(0, n - 1)],
+  name: 'request_time',
+  type: 'Histogram',
+  boundaries: self.bucket(100, 3),
+}
+""")
+    (tmp_path / "cfg.jsonnet").write_text("""
+local base = import 'base.libsonnet';
+local cel = std.native('cel');
+{
+  metrics: [base {
+    value: cel('log.timeTaken * 1000.0'),
+    boundaries: super.boundaries + [1000],
+  }],
+}
+""")
+    cfg = Config.load(str(tmp_path / "cfg.jsonnet"))
+    assert cfg.metrics[0].boundaries == [100.0, 200.0, 400.0, 1000.0]
+    assert cfg.metrics[0].name == "request_time"
