@@ -119,10 +119,70 @@ def _unquote(raw: str) -> str:
     return "".join(out)
 
 
+def _scan_text_block(src: str, pos: int, line: int) -> tuple[str, int]:
+    """Scan a ||| text block starting just past the opening bars; returns
+    (decoded string, position just past the closing |||).
+
+    go-jsonnet semantics (lexer.go lexStringBlock): optional `-` chomps the
+    final newline; the rest of the opening line must be whitespace; the
+    first non-blank content line's leading whitespace fixes the indent
+    every later content line must carry; blank lines stay blank; the block
+    closes on a LESS-indented line holding `|||` (tokens may follow it on
+    the same line, e.g. a comma)."""
+    chomp = False
+    if pos < len(src) and src[pos] == "-":
+        chomp = True
+        pos += 1
+    while pos < len(src) and src[pos] in " \t\r":
+        pos += 1
+    if pos >= len(src) or src[pos] != "\n":
+        raise JsonnetError(f"line {line}: text block ||| must end its line")
+    pos += 1
+    lines: list[str] = []
+    indent: str | None = None
+    while True:
+        if pos >= len(src):
+            raise JsonnetError(f"line {line}: unterminated ||| text block")
+        nl = src.find("\n", pos)
+        raw = src[pos:nl] if nl != -1 else src[pos:]
+        nxt = (nl + 1) if nl != -1 else len(src)
+        if raw.strip(" \t\r") == "":
+            lines.append("")
+            pos = nxt
+            continue
+        if indent is None:
+            ws = len(raw) - len(raw.lstrip(" \t"))
+            if ws == 0:
+                raise JsonnetError(
+                    f"line {line}: text block's first line must start "
+                    "with whitespace"
+                )
+            indent = raw[:ws]
+        if raw.startswith(indent):
+            lines.append(raw[len(indent):])
+            pos = nxt
+            continue
+        ws = len(raw) - len(raw.lstrip(" \t"))
+        if raw[ws : ws + 3] == "|||":
+            text = "".join(l + "\n" for l in lines)
+            if chomp and text.endswith("\n"):
+                text = text[:-1]
+            return text, pos + ws + 3
+        bad = src.count("\n", 0, pos) + 1
+        raise JsonnetError(
+            f"line {bad}: text block line must match the block's indentation"
+        )
+
+
 def _tokenize(src: str) -> list[tuple[str, str, int]]:
     toks: list[tuple[str, str, int]] = []
     pos = 0
     while pos < len(src):
+        if src.startswith("|||", pos):
+            line = src.count("\n", 0, pos) + 1
+            text, pos = _scan_text_block(src, pos + 3, line)
+            toks.append(("textblock", text, line))
+            continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             line = src.count("\n", 0, pos) + 1
@@ -363,6 +423,8 @@ class _Parser:
             return ("num", float(v) if ("." in v or "e" in v or "E" in v) else int(v))
         if k == "string":
             return ("str", _unquote(v))
+        if k == "textblock":
+            return ("str", v)
         if k in ("true", "false", "null"):
             return (k,)
         if k == "ident":

@@ -487,3 +487,53 @@ local cel = std.native('cel');
     cfg = Config.load(str(tmp_path / "cfg.jsonnet"))
     assert cfg.metrics[0].boundaries == [100.0, 200.0, 400.0, 1000.0]
     assert cfg.metrics[0].name == "request_time"
+
+
+def test_text_blocks():
+    """||| text blocks, go-jsonnet lexer.go lexStringBlock semantics:
+    the first non-blank line fixes the indent that is stripped from every
+    content line, blank lines pass through, a less-indented ||| closes
+    the block, and |||- chomps the single trailing newline."""
+    out = evaluate(
+        "{\n"
+        "  a: |||\n"
+        "    foo\n"
+        "    bar\n"
+        "  |||,\n"
+        "  b: |||-\n"
+        "    chomped\n"
+        "  |||,\n"
+        "  c: |||\n"
+        "      deeper\n"
+        "       nested\n"
+        "      back\n"
+        "  |||,\n"
+        "}\n"
+    )
+    assert out == {
+        "a": "foo\nbar\n",
+        "b": "chomped",
+        "c": "deeper\n nested\nback\n",
+    }
+
+    # blank interior lines survive; the result is a normal string value
+    out = evaluate(
+        "local t = |||\n  line1\n\n  line3\n|||;\n"
+        "{ n: std.length(t), t: t }"
+    )
+    assert out == {"n": 13, "t": "line1\n\nline3\n"}
+
+    # a ||| AT the content indent is literal text, not a terminator
+    out = evaluate("{ t: |||\n   a\n   |||\n   b\n  ||| }")
+    assert out == {"t": "a\n|||\nb\n"}
+
+
+def test_text_block_errors():
+    with pytest.raises(JsonnetError, match="start with whitespace"):
+        evaluate("{ x: |||\nnope\n||| }")
+    with pytest.raises(JsonnetError, match="match the block's indentation"):
+        evaluate("{ x: |||\n   a\n  b\n  ||| }")
+    with pytest.raises(JsonnetError, match="must end its line"):
+        evaluate("{ x: ||| inline ||| }")
+    with pytest.raises(JsonnetError, match="unterminated"):
+        evaluate("{ x: |||\n  a\n")
