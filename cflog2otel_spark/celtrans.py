@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
-  | (?P<int>\d+)
+  | (?P<int>0[xX][0-9a-fA-F]+[uU]?|\d+[uU]?)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>==|!=|<=|>=|&&|\|\||[!<>+\-*/%().,?:\[\]{}])
@@ -131,7 +131,14 @@ _MACROS = frozenset({"exists", "all", "filter", "map", "exists_one"})
 _FUNCS = {
     "double": ("CAST({a} AS DOUBLE)", "double"),
     "int": ("CAST({a} AS BIGINT)", "int"),
+    # CEL uint maps to BIGINT (no unsigned type in Spark; >= 2^63 out of
+    # scope for log-pipeline configs)
+    "uint": ("CAST({a} AS BIGINT)", "int"),
+    "bool": ("CAST({a} AS BOOLEAN)", "bool"),
+    "bytes": ("CAST({a} AS BINARY)", "bytes"),
     "string": ("CAST({a} AS STRING)", "string"),
+    # dyn() erases the static type in cel-go; SQL is untouched
+    "dyn": ("{a}", None),
     "size": ("length({a})", "int"),
     "timestamp": ("to_timestamp({a})", "timestamp"),
 }
@@ -278,6 +285,12 @@ class _Parser:
             right, rt = self.mul()
             if op == "+" and (lt == "string" or rt == "string"):
                 left, lt = f"concat({left}, {right})", "string"
+            elif op == "+" and (lt == "list" or rt == "list"):
+                # CEL list + list is concatenation; Spark's array `+` is
+                # not defined, so emit concat() (same null-in semantics)
+                left, lt = f"concat({left}, {right})", "list"
+            elif op == "+" and (lt == "bytes" or rt == "bytes"):
+                left, lt = f"concat({left}, {right})", "bytes"
             else:
                 left, lt = f"({left} {op} {right})", _num(lt, rt)
         return left, lt
@@ -335,7 +348,11 @@ class _Parser:
             sql = f"map({', '.join(pairs)})" if pairs else "map()"
             return self._methods((sql, "map"))
         if t.kind == "int":
-            return self._methods((t.text + "L", "int"))
+            # cel-go: optional 0x hex form and u/U uint suffix (uint maps
+            # to BIGINT here — values >= 2^63 are out of scope)
+            raw = t.text.rstrip("uU")
+            val = int(raw, 16) if raw[:2].lower() == "0x" else int(raw)
+            return self._methods((f"{val}L", "int"))
         if t.kind == "float":
             return self._methods((f"CAST({t.text} AS DOUBLE)", "double"))
         if t.kind == "string":
@@ -452,6 +469,16 @@ class _Parser:
                 continue
             if name.text in _TS_METHODS and self.peek().text == "(":
                 self.next()
+                if self.peek().text != ")":
+                    # optional IANA-timezone argument (cel-go overload):
+                    # shift the UTC instant into the zone's wall clock
+                    tz, tzt = self.ternary()
+                    if tzt not in ("string", None):
+                        raise CELTranslationError(
+                            f"timezone argument to .{name.text}() must be "
+                            f"a string in {self.src!r}"
+                        )
+                    sql = f"from_utc_timestamp({sql}, {tz})"
                 self.expect(")")
                 sql, stype = _TS_METHODS[name.text].format(x=sql), "int"
                 continue

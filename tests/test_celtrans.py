@@ -378,3 +378,57 @@ def test_timestamp_accessors_evaluate(spark):
     assert ev("log.timestamp.getMinutes()") == 1
     assert ev("log.timestamp.getSeconds()") == 35
     assert ev("log.timestamp.getMilliseconds()") == 250
+
+
+@pytest.mark.parametrize(
+    "cel,sql",
+    [
+        # CEL list + list / bytes + bytes is concatenation, not SQL `+`
+        ("['a'] + ['b']", "concat(array('a'), array('b'))"),
+        ("bytes('a') + bytes('b')",
+         "concat(CAST('a' AS BINARY), CAST('b' AS BINARY))"),
+        ("bool('true')", "CAST('true' AS BOOLEAN)"),
+        ("uint(log.scStatus)", "CAST(sc_status AS BIGINT)"),
+        ("dyn(log.scStatus)", "sc_status"),
+        ("42u", "42L"),
+        ("0xFF", "255L"),
+        ("0x10u", "16L"),
+        ("size(bytes('abc'))", "length(CAST('abc' AS BINARY))"),
+        (
+            "log.timestamp.getHours('America/New_York')",
+            "hour(from_utc_timestamp(timestamp, 'America/New_York'))",
+        ),
+    ],
+)
+def test_stdlib_conversions_translate(cel, sql):
+    assert translate(cel) == sql
+
+
+def test_stdlib_conversions_evaluate(spark):
+    """The emitted SQL evaluates with cel-go standard-library semantics."""
+    a = translate("([1] + [2, 3]).size()")
+    b = translate("bool('true')")
+    c = translate("bytes('ab') + bytes('c') == bytes('abc')")
+    d = translate("size(bytes('abc'))")
+    e = translate("uint(7) + 1u")
+    f = translate("dyn([1,2]) + [3]")
+    rows = spark.sql(
+        f"SELECT ({a}) AS a, ({b}) AS b, ({c}) AS c, "
+        f"({d}) AS d, ({e}) AS e, ({f})[2] AS f"
+    ).collect()[0]
+    assert rows["a"] == 3
+    assert rows["b"] is True
+    assert rows["c"] is True
+    assert rows["d"] == 3
+    assert rows["e"] == 8
+    assert rows["f"] == 3
+
+
+def test_tz_accessor_evaluates(spark):
+    """2019-12-01 22:01:35 UTC is 17:01 in America/New_York (EST, -5)."""
+    sql = translate("log.timestamp.getHours('America/New_York')").replace(
+        "(timestamp,", "(timestamp'2019-12-01 22:01:35',", 1
+    )
+    assert spark.sql(f"SELECT ({sql}) AS v").collect()[0]["v"] == 17
+    with pytest.raises(CELTranslationError, match="timezone argument"):
+        translate("log.timestamp.getHours(5)")
