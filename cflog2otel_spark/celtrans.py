@@ -410,6 +410,17 @@ class _Parser:
                     # CEL size() is element count on collections; Spark's
                     # length() only takes strings/binary
                     return self._methods((f"size({a})", "int"))
+                if t.text == "string" and at == "timestamp":
+                    # cel-go formats timestamps as RFC 3339 with the
+                    # fractional second trimmed of trailing zeros
+                    # (time.RFC3339Nano); a plain CAST gives Spark's
+                    # "yyyy-MM-dd HH:mm:ss" instead
+                    sql = (
+                        "concat(regexp_replace(date_format("
+                        f"{a}, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\"), "
+                        "'\\\\.?0+$', ''), 'Z')"
+                    )
+                    return self._methods((sql, "string"))
                 tmpl, rt = _FUNCS[t.text]
                 return self._methods((tmpl.format(a=a), rt))
             return self._path(t.text)

@@ -432,3 +432,21 @@ def test_tz_accessor_evaluates(spark):
     assert spark.sql(f"SELECT ({sql}) AS v").collect()[0]["v"] == 17
     with pytest.raises(CELTranslationError, match="timezone argument"):
         translate("log.timestamp.getHours(5)")
+
+
+def test_string_of_timestamp_is_rfc3339(spark):
+    """cel-go string(timestamp) yields RFC 3339 with the fractional
+    second trimmed of trailing zeros (time.RFC3339Nano); a plain CAST
+    would give Spark's space-separated form."""
+    s = translate("string(log.timestamp)")
+    for lit, want in [
+        ("timestamp'2019-12-01 22:01:35.250'", "2019-12-01T22:01:35.25Z"),
+        ("timestamp'2019-12-01 22:01:35'", "2019-12-01T22:01:35Z"),
+        ("timestamp'2019-12-01 22:01:35.123456'",
+         "2019-12-01T22:01:35.123456Z"),
+        ("timestamp'2019-12-01 22:01:40'", "2019-12-01T22:01:40Z"),
+    ]:
+        q = s.replace("(timestamp,", f"({lit},", 1)
+        assert spark.sql(f"SELECT ({q}) AS v").collect()[0]["v"] == want
+    # non-timestamp operands keep the plain cast
+    assert translate("string(log.scStatus)") == "CAST(sc_status AS STRING)"
