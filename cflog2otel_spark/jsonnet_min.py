@@ -59,6 +59,7 @@ import base64
 import json
 import os
 import re
+import sys
 from typing import Any
 
 
@@ -1224,6 +1225,49 @@ def _std_uniq(arr: Any) -> list:
     return out
 
 
+def _std_set(arr: Any, keyF: Any = None) -> list:
+    return _std_uniq(_std_sort(arr, keyF))
+
+
+def _std_prune(v: Any) -> Any:
+    """Recursively drop null, empty-array, and empty-object values
+    (go-jsonnet std.prune)."""
+    def emptyish(x: Any) -> bool:
+        return x is None or x == [] or x == {}
+
+    if isinstance(v, dict):
+        out = {
+            k: _std_prune(x) for k, x in v.items() if not emptyish(x)
+        }
+        return {k: x for k, x in out.items() if not emptyish(x)}
+    if isinstance(v, list):
+        return [_std_prune(x) for x in v if not emptyish(_std_prune(x))]
+    return v
+
+
+def _std_manifest_json_ex(
+    value: Any, indent: str, newline: str = "\n", key_val_sep: str = ": "
+) -> str:
+    s = json.dumps(
+        value,
+        indent=indent,
+        separators=(",", key_val_sep),
+        sort_keys=True,
+        ensure_ascii=False,
+    )
+    return s.replace("\n", newline) if newline != "\n" else s
+
+
+def _std_find_substr(pat: str, s: str) -> list:
+    if not pat:
+        return []
+    out, i = [], s.find(pat)
+    while i != -1:
+        out.append(i)
+        i = s.find(pat, i + 1)
+    return out
+
+
 _STD = {
     "native": _std_native,
     "map": lambda fn, arr: [_apply(fn, [x]) for x in arr],
@@ -1295,8 +1339,71 @@ _STD = {
     "base64": lambda s: base64.b64encode(
         s.encode() if isinstance(s, str) else bytes(s)
     ).decode(),
+    "base64Decode": lambda s: base64.b64decode(s).decode(),
+    "base64DecodeBytes": lambda s: list(base64.b64decode(s)),
     "md5": lambda s: __import__("hashlib").md5(s.encode()).hexdigest(),
+    # manifestation
+    "manifestJson": lambda v: _std_manifest_json_ex(v, "    "),
+    "manifestJsonEx": _std_manifest_json_ex,
+    "manifestJsonMinified": lambda v: json.dumps(
+        v, separators=(",", ":"), sort_keys=True, ensure_ascii=False
+    ),
+    "escapeStringJson": lambda s: json.dumps(s, ensure_ascii=False),
+    "prune": _std_prune,
+    # arrays (cont.)
+    "flatMap": lambda fn, arr: (
+        [y for x in arr for y in _apply(fn, [x])]
+        if isinstance(arr, list)
+        else "".join(_apply(fn, [c]) for c in arr)
+    ),
+    "sum": lambda arr: sum(arr),
+    "avg": lambda arr: sum(arr) / len(arr),
+    "all": lambda arr: all(arr) if all(
+        isinstance(x, bool) for x in arr
+    ) else _raise(JsonnetError("std.all requires an array of booleans")),
+    "any": lambda arr: any(arr) if all(
+        isinstance(x, bool) for x in arr
+    ) else _raise(JsonnetError("std.any requires an array of booleans")),
+    "repeat": lambda what, count: what * int(count),
+    "find": lambda value, arr: [
+        i for i, x in enumerate(arr) if x == value
+    ],
+    "findSubstr": _std_find_substr,
+    "contains": lambda arr, x: x in arr,
+    # sets: sorted duplicate-free arrays
+    "set": _std_set,
+    "setMember": lambda x, s, keyF=None: x in s,
+    "setUnion": lambda a, b, keyF=None: _std_set(list(a) + list(b), keyF),
+    "setInter": lambda a, b, keyF=None: _std_set(
+        [x for x in a if x in b], keyF
+    ),
+    "setDiff": lambda a, b, keyF=None: _std_set(
+        [x for x in a if x not in b], keyF
+    ),
+    # strings (cont.)
+    "char": lambda n: chr(int(n)),
+    "codepoint": lambda s: ord(s),
+    "stripChars": lambda s, cs: s.strip(cs),
+    "lstripChars": lambda s, cs: s.lstrip(cs),
+    "rstripChars": lambda s, cs: s.rstrip(cs),
+    "parseHex": lambda s: int(s, 16),
+    "parseOctal": lambda s: int(s, 8),
+    # objects (cont.)
+    "mapWithKey": lambda fn, o: {
+        k: _apply(fn, [k, v]) for k, v in o.items() if k != "__parent__"
+    },
+    "objectKeysValues": lambda o: [
+        {"key": k, "value": o[k]} for k in sorted(o) if k != "__parent__"
+    ],
+    # debugging: print to stderr, return rest (go-jsonnet std.trace)
+    "trace": lambda msg, rest: (
+        print(f"TRACE: {msg}", file=sys.stderr) or rest
+    ),
 }
+
+
+def _raise(exc: Exception) -> Any:
+    raise exc
 
 
 class _Std(dict):

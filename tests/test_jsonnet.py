@@ -537,3 +537,50 @@ def test_text_block_errors():
         evaluate("{ x: ||| inline ||| }")
     with pytest.raises(JsonnetError, match="unterminated"):
         evaluate("{ x: |||\n  a\n")
+
+
+def test_std_library_extensions():
+    """The std functions multi-file/user configs commonly reach for:
+    manifestation, sets, pruning, flatMap/sum/avg/all/any, char/codepoint,
+    strip*, parseHex/Octal, mapWithKey, objectKeysValues, base64 decode."""
+    cases = [
+        ("std.manifestJsonMinified({b: 2, a: [1]})", '{"a":[1],"b":2}'),
+        ("std.manifestJsonEx({a: 1}, '  ')", '{\n  "a": 1\n}'),
+        (
+            "std.prune({a: null, b: [], c: {d: null}, e: 1, f: [null, 2]})",
+            {"e": 1, "f": [2]},
+        ),
+        ("std.flatMap(function(x) [x, x], [1, 2])", [1, 1, 2, 2]),
+        ("std.sum([1, 2, 3.5])", 6.5),
+        ("std.avg([1, 2, 3])", 2.0),
+        ("std.all([true, true]) && !std.any([false])", True),
+        ("std.repeat('ab', 3)", "ababab"),
+        ("std.find(2, [1, 2, 3, 2])", [1, 3]),
+        ("std.findSubstr('aa', 'aaaa')", [0, 1, 2]),
+        ("std.set([3, 1, 3, 2])", [1, 2, 3]),
+        ("std.setUnion([1, 2], [2, 3])", [1, 2, 3]),
+        ("std.setInter([1, 2], [2, 3])", [2]),
+        ("std.setDiff([1, 2], [2, 3])", [1]),
+        ("std.setMember(2, [1, 2])", True),
+        ("std.char(65)", "A"),
+        ("std.codepoint('A')", 65),
+        ("std.stripChars(' xy ', ' ')", "xy"),
+        ("std.parseHex('ff')", 255),
+        ("std.parseOctal('755')", 493),
+        ("std.mapWithKey(function(k, v) v + 1, {a: 1, b: 2})",
+         {"a": 2, "b": 3}),
+        ("std.objectKeysValues({b: 2, a: 1})",
+         [{"key": "a", "value": 1}, {"key": "b", "value": 2}]),
+        ("std.escapeStringJson('a\"b')", '"a\\"b"'),
+        ("std.base64Decode(std.base64('hi'))", "hi"),
+        ("std.base64DecodeBytes(std.base64('hi'))", [104, 105]),
+        ("std.trace('msg', 42)", 42),
+    ]
+    for src, want in cases:
+        assert evaluate(src) == want, src
+    # std.manifestJson uses go-jsonnet's 4-space indent and sorted keys
+    assert evaluate("std.manifestJson({b: 2, a: [1]})") == (
+        '{\n    "a": [\n        1\n    ],\n    "b": 2\n}'
+    )
+    with pytest.raises(JsonnetError, match="array of booleans"):
+        evaluate("std.all([1])")
