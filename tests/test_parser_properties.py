@@ -156,3 +156,35 @@ def test_cel_string_literals_and_methods_property(spark):
         assert spark.sql(f"SELECT {translate(src)} AS v").first()["v"] is True
 
     check()
+
+
+# ------------------------------------------------- jsonnet text blocks ---
+
+_BLOCK_LINES = st.lists(
+    st.one_of(
+        st.just(""),  # blank lines pass through
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=33, max_codepoint=126
+            ),
+            min_size=1,
+            max_size=12,
+        ).map(lambda s: s.rstrip()),
+    ),
+    min_size=1,
+    max_size=6,
+).filter(lambda ls: any(l.strip() for l in ls))
+
+
+@settings(max_examples=120, deadline=None)
+@given(_BLOCK_LINES, st.integers(1, 6))
+def test_text_block_roundtrips_content(lines, indent_n):
+    """Property: any content written into a ||| block at a fixed indent
+    evaluates to exactly that content with one trailing newline per line
+    (go-jsonnet lexStringBlock). Lines that are pure whitespace stay
+    blank; content is indent-stripped."""
+    indent = " " * indent_n
+    body = "".join((indent + l if l else "") + "\n" for l in lines)
+    src = "|||\n" + body + "|||"
+    want = "".join(l + "\n" for l in lines)
+    assert evaluate(src) == want
