@@ -143,6 +143,11 @@ _FUNCS = {
     "timestamp": ("to_timestamp({a})", "timestamp"),
 }
 
+# cel-go also defines the two-argument global form matches(s, re)
+_GLOBAL2 = {
+    "matches": ("regexp_like({a}, {b})", "bool"),
+}
+
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 _COLUMN_TYPES: dict[str, str] = {}
@@ -402,6 +407,14 @@ class _Parser:
                 return self._methods(
                     (f"make_dt_interval(0, 0, 0, {secs!r})", "duration")
                 )
+            if t.text in _GLOBAL2 and self.peek().text == "(":
+                self.next()
+                a, _ = self.ternary()
+                self.expect(",")
+                b, _ = self.ternary()
+                self.expect(")")
+                tmpl, rt = _GLOBAL2[t.text]
+                return self._methods((tmpl.format(a=a, b=b), rt))
             if t.text in _FUNCS and self.peek().text == "(":
                 self.next()
                 a, at = self.ternary()

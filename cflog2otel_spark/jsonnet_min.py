@@ -1320,6 +1320,19 @@ _STD = {
     "pow": lambda x, n: float(x) ** float(n),
     "sqrt": lambda x: float(x) ** 0.5,
     "mod": lambda a, b: a % b,
+    "clamp": lambda x, lo, hi: max(lo, min(x, hi)),
+    "sign": lambda x: 0 if x == 0 else (1 if x > 0 else -1),
+    "round": lambda x: float(__import__("math").floor(x + 0.5)),
+    "exp": lambda x: __import__("math").exp(x),
+    "log": lambda x: __import__("math").log(x),
+    "isInteger": lambda x: isinstance(x, int) and not isinstance(x, bool)
+    or (isinstance(x, float) and x == int(x)),
+    "isDecimal": lambda x: isinstance(x, float) and x != int(x),
+    "isEven": lambda x: int(x) % 2 == 0,
+    "isOdd": lambda x: int(x) % 2 == 1,
+    "foldr": lambda fn, arr, init: __import__("functools").reduce(
+        lambda acc, x: _apply(fn, [x, acc]), reversed(arr), init
+    ),
     # type predicates
     "isString": lambda x: isinstance(x, str),
     "isNumber": lambda x: isinstance(x, (int, float))

@@ -450,3 +450,13 @@ def test_string_of_timestamp_is_rfc3339(spark):
         assert spark.sql(f"SELECT ({q}) AS v").collect()[0]["v"] == want
     # non-timestamp operands keep the plain cast
     assert translate("string(log.scStatus)") == "CAST(sc_status AS STRING)"
+
+
+def test_global_matches_form():
+    """cel-go defines matches() both as a method and a two-argument
+    global function."""
+    assert translate("matches(log.csUriStem, '^/api')") == (
+        "regexp_like(cs_uri_stem, '^/api')"
+    )
+    with pytest.raises(CELTranslationError):
+        translate("matches(log.csUriStem)")

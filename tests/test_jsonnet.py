@@ -584,3 +584,23 @@ def test_std_library_extensions():
     )
     with pytest.raises(JsonnetError, match="array of booleans"):
         evaluate("std.all([1])")
+
+
+def test_std_numeric_extensions():
+    cases = [
+        ("std.clamp(5, 1, 3)", 3),
+        ("std.clamp(-5, 1, 3)", 1),
+        ("std.sign(-2.5)", -1),
+        ("std.round(2.5)", 3.0),
+        ("std.round(-2.5)", -2.0),  # go-jsonnet rounds via floor(x + 0.5)
+        ("std.exp(0)", 1.0),
+        ("std.log(1)", 0.0),
+        ("std.isInteger(3.0) && std.isInteger(3)", True),
+        ("std.isDecimal(3.5)", True),
+        ("std.isEven(4) && std.isOdd(3)", True),
+        ("std.foldr(function(x, acc) [x] + acc, [1, 2, 3], [])", [1, 2, 3]),
+        ("std.foldr(function(x, acc) acc + std.toString(x), [1, 2], 's')",
+         "s21"),
+    ]
+    for src, want in cases:
+        assert evaluate(src) == want, src
