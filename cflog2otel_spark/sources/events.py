@@ -141,3 +141,43 @@ def s3_record_context(record: dict) -> dict:
         "object_version_id": _get_ci(obj, "versionId", ""),
         "object_sequencer": _get_ci(obj, "sequencer", ""),
     }
+
+
+def dummy_s3_notification(s3_url: str) -> str:
+    """-s3-url convenience entry: synthesize the same dummy S3 notification
+    the reference builds from an s3:// URL (cmd/cflog2otel/main.go:153-185
+    generateDummyS3Notification) — constant etag/version/sequencer, size
+    1024, region from $AWS_REGION, eventTime = now."""
+    import datetime
+    import json as _json
+    import os
+    from urllib.parse import urlsplit
+
+    u = urlsplit(s3_url)
+    if u.scheme != "s3":
+        raise ValueError("invalid s3 url")
+    now = datetime.datetime.now(datetime.timezone.utc)
+    return _json.dumps({
+        "Records": [{
+            "eventVersion": "2.1",
+            "eventSource": "aws:s3",
+            "awsRegion": os.environ.get("AWS_REGION", ""),
+            "eventTime": now.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "eventName": "ObjectCreated:Put",
+            "s3": {
+                "s3SchemaVersion": "1.0",
+                "configurationId": "testConfigRule",
+                "bucket": {
+                    "name": u.netloc,
+                    "arn": f"arn:aws:s3:::{u.netloc}",
+                },
+                "object": {
+                    "key": u.path.lstrip("/"),
+                    "size": 1024,
+                    "eTag": "0123456789abcdef0123456789abcdef",
+                    "versionId": "096fKKXTRTtl3on89fVO.nfljtsv6qko",
+                    "sequencer": "0A1B2C3D4E5F678901",
+                },
+            },
+        }]
+    })

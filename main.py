@@ -13,7 +13,9 @@ Mirrors the reference CLI surface (/root/reference/cmd/cflog2otel/main.go:43-51)
   --config-validate-only ≈ -config-validate-only
   --render-config ≈ -render-config (evaluate jsonnet, print JSON, exit)
   --local-collector / --golden-stdout ≈ -local-collector (JSON to stdout)
-  --input ≈ -s3-url; --event-time drives the backfill lateness gate;
+  --s3-url ≈ -s3-url (dummy S3 notification synthesized from the URL);
+  --log-level/--log-prettify ≈ -log-level/-log-prettify;
+  --event-time drives the backfill lateness gate;
   --backfill-auto-manifest ≈ the ListObjectsV2 sibling listing
   (app.go:322-336), derived from a directory's file mtimes.
 
@@ -28,12 +30,42 @@ import sys
 import time
 
 
+def _env_default(name: str, fallback: str | None = None) -> str | None:
+    """Reference flag/env duality (cmd/cflog2otel/main.go:50
+    flag.VisitAll(flagx.EnvToFlag)): every reference-shared flag also
+    reads its $UPPER_SNAKE environment variable when the flag is absent."""
+    import os
+
+    v = os.environ.get(name)
+    return v if v not in (None, "") else fallback
+
+
+def _env_flag(name: str) -> bool:
+    v = _env_default(name)
+    return (v or "").lower() in ("1", "true", "yes", "on")
+
+
 def parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="CloudFront-log -> OTel-metrics Spark pipeline")
     ap.add_argument(
         "--config",
+        default=_env_default("CONFIG"),
         help="metric config (jsonnet or JSON); required except with "
-        "--corpus-pipeline",
+        "--corpus-pipeline ($CONFIG)",
+    )
+    ap.add_argument(
+        "--log-level",
+        default=_env_default("LOG_LEVEL", "info"),
+        help="log level: debug/info/warn/error — applied to both python "
+        "logging and the Spark JVM logger ($LOG_LEVEL; reference "
+        "cmd/cflog2otel/main.go:43)",
+    )
+    ap.add_argument(
+        "--log-prettify",
+        action="store_true",
+        default=_env_flag("LOG_PRETTIFY"),
+        help="indent the JSON run-stats/export lines written to stderr "
+        "($LOG_PRETTIFY; reference main.go:44 pretty-prints its JSON logs)",
     )
     ap.add_argument(
         "--corpus-pipeline",
@@ -114,16 +146,31 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "eventTime drives the backfill gate, bucket/object fields bind the "
         "CEL context",
     )
+    ap.add_argument(
+        "--s3-url",
+        default=_env_default("S3_URL"),
+        help="s3://bucket/key convenience trigger: synthesizes the same "
+        "dummy S3 notification the reference builds (main.go:48,86-99 + "
+        "generateDummyS3Notification) and runs it through the --s3-event "
+        "path ($S3_URL)",
+    )
     ap.add_argument("--repartition-by-source", action="store_true")
-    ap.add_argument("--config-validate-only", action="store_true")
+    ap.add_argument(
+        "--config-validate-only", action="store_true",
+        default=_env_flag("CONFIG_VALIDATE_ONLY"),
+    )
     ap.add_argument(
         "--render-config",
         action="store_true",
+        default=_env_flag("RENDER_CONFIG"),
         help="evaluate + load the config (jsonnet or JSON) and print its "
         "defaults-applied JSON form, then exit "
         "(reference -render-config, cmd/cflog2otel/main.go:47,61-68)",
     )
-    ap.add_argument("--golden-stdout", "--local-collector", dest="golden_stdout", action="store_true")
+    ap.add_argument(
+        "--golden-stdout", "--local-collector", dest="golden_stdout",
+        action="store_true", default=_env_flag("LOCAL_COLLECTOR"),
+    )
     ap.add_argument(
         "--stream",
         action="store_true",
@@ -196,8 +243,27 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
+    import logging
+
+    _LEVELS = {"debug": "DEBUG", "info": "INFO", "warn": "WARN",
+               "warning": "WARN", "error": "ERROR"}
+    log_level = _LEVELS.get((args.log_level or "info").lower())
+    if log_level is None:
+        # reference behavior: fall back to info with a warning
+        # (cmd/cflog2otel/main.go:104-108,137-139)
+        print(f"failed to parse log level {args.log_level!r}, "
+              "fallback to info", file=sys.stderr)
+        log_level = "INFO"
+    logging.basicConfig(
+        level=getattr(logging, "WARNING" if log_level == "WARN" else log_level)
+    )
+
     from cflog2otel_spark.config import Config, ConfigError
     from cflog2otel_spark.session import get_spark
+
+    def jd(obj) -> str:
+        # --log-prettify indents the JSON diagnostics (main.go:44,75-96)
+        return json.dumps(obj, indent=2 if args.log_prettify else None)
 
     if args.corpus_pipeline:
         if not (args.input and args.out):
@@ -230,6 +296,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
         spark = get_spark(master=args.master, app_name="corpus_pipeline")
+        spark.sparkContext.setLogLevel(log_level)
         try:
             from cflog2otel_spark.corpus import run_corpus_pipeline, write_corpus
 
@@ -259,8 +326,8 @@ def main(argv: list[str] | None = None) -> int:
                 elapsed_sec=time.time() - t0,
             )
             res.unpersist()
-            print(json.dumps({"corpus": manifest["funnel"],
-                              "run_id": manifest["run_id"]}), file=sys.stderr)
+            print(jd({"corpus": manifest["funnel"],
+                       "run_id": manifest["run_id"]}), file=sys.stderr)
             return 0
         finally:
             spark.stop()
@@ -282,6 +349,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark(master=args.master, app_name="cflog2otel")
+    spark.sparkContext.setLogLevel(log_level)
     try:
         try:
             cfg.validate_expressions(spark)
@@ -336,8 +404,8 @@ def main(argv: list[str] | None = None) -> int:
                 q.awaitTermination()
             mode = "stream-per-metric" if args.stream_per_metric else "stream-single-pass"
             print(
-                json.dumps({"run": {"elapsed_sec": round(time.time() - t0, 3),
-                                    "mode": mode, "watermark": watermark}}),
+                jd({"run": {"elapsed_sec": round(time.time() - t0, 3),
+                            "mode": mode, "watermark": watermark}}),
                 file=sys.stderr,
             )
             return 0
@@ -381,7 +449,7 @@ def main(argv: list[str] | None = None) -> int:
             parsed = resume_filter(parsed, args.checkpoint_dir)
 
         results = []
-        if args.s3_event:
+        if args.s3_event or args.s3_url:
             # Lambda-event entry (app.go:179-203): unwrap SQS/SNS wrapping,
             # each S3 record scopes one run to its object (plus manifest-
             # gated siblings when backfill is enabled)
@@ -390,10 +458,18 @@ def main(argv: list[str] | None = None) -> int:
             from cflog2otel_spark.operators.backfill import backfill_select
             from cflog2otel_spark.operators.enrich import with_event_context
             from cflog2otel_spark.sources.events import (
-                collect_s3_records, s3_record_context)
+                collect_s3_records, dummy_s3_notification, s3_record_context)
 
-            with open(args.s3_event) as fh:
-                records = collect_s3_records(fh.read())
+            if args.s3_event:
+                with open(args.s3_event) as fh:
+                    event_json = fh.read()
+            else:
+                try:
+                    event_json = dummy_s3_notification(args.s3_url)
+                except ValueError as exc:
+                    print(str(exc), file=sys.stderr)
+                    return 2
+            records = collect_s3_records(event_json)
             if not records:
                 print("no s3 notifications, skipping", file=sys.stderr)
                 return 0
@@ -492,7 +568,7 @@ def main(argv: list[str] | None = None) -> int:
                     gzip=bool(cfg.otel.get("gzip")),
                     encoding=args.otlp_encoding,
                 )
-            print(json.dumps({"exported": n}), file=sys.stderr)
+            print(jd({"exported": n}), file=sys.stderr)
         if args.export_otlp_grpc:
             from cflog2otel_spark.export import export_otlp_grpc
             from cflog2otel_spark.golden import encode_otlp
@@ -503,7 +579,7 @@ def main(argv: list[str] | None = None) -> int:
                     encode_otlp(res, cfg), args.export_otlp_grpc,
                     headers=cfg.otel.get("headers") or None,
                 )
-            print(json.dumps({"exported_grpc": n}), file=sys.stderr)
+            print(jd({"exported_grpc": n}), file=sys.stderr)
         dt = time.time() - t0
         stats = {"elapsed_sec": round(dt, 3)}
         if n_rows is not None:
@@ -511,7 +587,7 @@ def main(argv: list[str] | None = None) -> int:
         # spark-submit's PythonRunner can merge the child's stderr into
         # stdout; keep --golden-stdout output pure JSON by skipping stats
         if not args.golden_stdout:
-            print(json.dumps({"run": stats}), file=sys.stderr)
+            print(jd({"run": stats}), file=sys.stderr)
         for res in results:
             res.unpersist()
         return 0

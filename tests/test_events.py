@@ -179,3 +179,83 @@ def test_cli_multi_record_event_writes_per_record_sinks(spark, tmp_path):
 
     assert completed_sources(str(ckpt)) == {SOURCE1, SOURCE2}
     assert resume_filter(spark.read.parquet(corpus_path), str(ckpt)).count() == 0
+
+
+def test_dummy_s3_notification_shape():
+    """-s3-url parity: the synthesized event carries the reference's
+    constant fields (main.go:153-185) and flows through the normal
+    record collection + context binding."""
+    from cflog2otel_spark.sources.events import dummy_s3_notification
+
+    ev = dummy_s3_notification("s3://example-bucket/logs/a.gz")
+    recs = collect_s3_records(ev)
+    assert len(recs) == 1
+    ctx = s3_record_context(recs[0])
+    assert ctx["source"] == "logs/a.gz"
+    assert ctx["bucket_name"] == "example-bucket"
+    assert ctx["bucket_arn"] == "arn:aws:s3:::example-bucket"
+    assert ctx["object_size"] == 1024
+    assert ctx["object_etag"] == "0123456789abcdef0123456789abcdef"
+    assert ctx["object_sequencer"] == "0A1B2C3D4E5F678901"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid s3 url"):
+        dummy_s3_notification("http://not-s3/x")
+
+
+def test_cli_s3_url_scopes_and_matches_golden(spark, tmp_path):
+    """main.py --s3-url (reference -s3-url): the URL-synthesized dummy
+    notification scopes the run exactly like a real event; --log-level and
+    --log-prettify are accepted and prettify the stderr stats JSON."""
+    from cflog2otel_spark.golden import canonicalize, load_reference_golden
+    from cflog2otel_spark.sources.tokenized import read_cf_log_file, tokenized_df_from_lines
+
+    _, lines1 = read_cf_log_file(CF_LOG)
+    _, lines2 = read_cf_log_file(CF_LOG2)
+    corpus = tokenized_df_from_lines(spark, lines1, SOURCE1).union(
+        tokenized_df_from_lines(spark, lines2, SOURCE2)
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    proc = subprocess.run(
+        [
+            sys.executable, "main.py",
+            "--config", f"{CONFIGS}/request_count_by_status_category.json",
+            "--input", corpus_path,
+            "--s3-url", f"s3://example-bucket/{SOURCE1}",
+            "--golden-stdout",
+            "--log-level", "warn",
+            "--log-prettify",
+            "--master", "local[2]",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ours = canonicalize(json.loads(proc.stdout))
+    theirs = load_reference_golden(
+        f"{REFERENCE}/testdata/fixtures/request_count_by_status_category.golden.json"
+    )
+    assert ours == theirs
+
+
+def test_env_to_flag_fallback(monkeypatch):
+    """flagx.EnvToFlag parity (main.go:50): $CONFIG / $S3_URL / $LOG_LEVEL /
+    $RENDER_CONFIG fill in absent flags."""
+    import main as main_mod
+
+    monkeypatch.setenv("CONFIG", "configs/switch_case.json")
+    monkeypatch.setenv("S3_URL", "s3://b/k.gz")
+    monkeypatch.setenv("LOG_LEVEL", "error")
+    monkeypatch.setenv("RENDER_CONFIG", "true")
+    args = main_mod.parse_args([])
+    assert args.config == "configs/switch_case.json"
+    assert args.s3_url == "s3://b/k.gz"
+    assert args.log_level == "error"
+    assert args.render_config is True
+    # explicit flag beats the environment
+    args = main_mod.parse_args(["--log-level", "debug"])
+    assert args.log_level == "debug"
