@@ -604,3 +604,25 @@ def test_std_numeric_extensions():
     ]
     for src, want in cases:
         assert evaluate(src) == want, src
+
+
+def test_reference_production_example_loads(monkeypatch):
+    """The reference's shipped Lambda example
+    (lambda/mackerel/cflog2otel.jsonnet) — the one config real users
+    deploy — loads end-to-end: ssm native resolves the API-key header,
+    all three metric kinds and the CEL resource attribute bind."""
+    monkeypatch.setenv(
+        "CFLOG_SSM_JSON", '{"/cflog2otel/MACKEREL_APIKEY": "test-key"}'
+    )
+    cfg = Config.load(f"{REFERENCE}/lambda/mackerel/cflog2otel.jsonnet")
+    assert cfg.otel["headers"] == {"Mackerel-Api-Key": "test-key"}
+    assert cfg.otel["gzip"] is True
+    assert [(m.name, m.type) for m in cfg.metrics] == [
+        ("http.server.requests", "Count"),
+        ("http.server.total_bytes", "Sum"),
+        ("http.server.request_time", "Histogram"),
+    ]
+    assert cfg.metrics[1].unit == "Byte" and cfg.metrics[1].is_monotonic
+    keys = [a.key for a in cfg.resource_attributes]
+    assert keys == ["service.name", "aws.cloudfront.distribution_id"]
+    assert cfg.resource_attributes[1].value.sql == "distribution_id"
