@@ -1310,7 +1310,10 @@ _STD = {
     "objectValues": lambda o: [
         o[k] for k in sorted(o) if k != "__parent__"
     ],
-    "get": lambda o, f, default=None: o.get(f, default),
+    # go-jsonnet signature: get(o, f, default=null, inc_hidden=true);
+    # the std boundary manifests objects to their visible fields, so
+    # hidden (::) fields are never gettable here (documented gap)
+    "get": lambda o, f, default=None, inc_hidden=True: o.get(f, default),
     # numbers
     "abs": abs,
     "max": max,
