@@ -423,6 +423,12 @@ class _Parser:
                     # CEL size() is element count on collections; Spark's
                     # length() only takes strings/binary
                     return self._methods((f"size({a})", "int"))
+                if t.text == "timestamp" and at == "int":
+                    # cel-go timestamp(int) = epoch seconds; Spark's CAST
+                    # from BIGINT to TIMESTAMP has the same meaning
+                    return self._methods(
+                        (f"CAST({a} AS TIMESTAMP)", "timestamp")
+                    )
                 if t.text == "string" and at == "timestamp":
                     # cel-go formats timestamps as RFC 3339 with the
                     # fractional second trimmed of trailing zeros

@@ -460,3 +460,14 @@ def test_global_matches_form():
     )
     with pytest.raises(CELTranslationError):
         translate("matches(log.csUriStem)")
+
+
+def test_timestamp_of_int_is_epoch_seconds(spark):
+    """cel-go timestamp(int) interprets the int as Unix epoch seconds."""
+    assert translate("timestamp(1575237695)") == (
+        "CAST(1575237695L AS TIMESTAMP)"
+    )
+    v = spark.sql(
+        f"SELECT ({translate('string(timestamp(1575237695))')}) AS v"
+    ).collect()[0]["v"]
+    assert v == "2019-12-01T22:01:35Z"
