@@ -497,6 +497,13 @@ class _Parser:
             if name.text in _MACROS and self.peek().text == "(":
                 sql, stype = self._macro(sql, stype, name.text)
                 continue
+            if stype in ("map", None) and self.peek().text != "(":
+                # CEL field selection on a map (or dyn, e.g. a nested
+                # selection result): m.key == m['key']; ANSI element_at
+                # raises on a missing key (CEL's no_such_key), and the
+                # config-load probe eval rejects selection on non-maps
+                sql, stype = f"element_at({sql}, '{name.text}')", None
+                continue
             if name.text in _TS_METHODS and self.peek().text == "(":
                 self.next()
                 if self.peek().text != ")":

@@ -471,3 +471,18 @@ def test_timestamp_of_int_is_epoch_seconds(spark):
         f"SELECT ({translate('string(timestamp(1575237695))')}) AS v"
     ).collect()[0]["v"]
     assert v == "2019-12-01T22:01:35Z"
+
+
+def test_map_field_selection(spark):
+    """CEL field selection on map values: m.key == m['key']; a missing
+    key raises (ANSI element_at = CEL's no_such_key)."""
+    assert translate("{'a': 7}.a") == "element_at(map('a', 7L), 'a')"
+    assert spark.sql(
+        f"SELECT ({translate(chr(123) + chr(39) + 'a' + chr(39) + ': 7' + chr(125) + '.a + 1')}) AS v"
+    ).collect()[0]["v"] == 8
+
+
+def test_nested_map_selection_translates():
+    assert translate("{'a': {'b': 2}}.a.b") == (
+        "element_at(element_at(map('a', map('b', 2L)), 'a'), 'b')"
+    )
