@@ -70,6 +70,17 @@ def get_spark(
                 "RocksDBStateStoreProvider",
             ),
         )
+        # RocksDB changelog checkpointing: commit uploads the batch's
+        # changelog instead of a full snapshot per state partition per
+        # micro-batch (snapshots shift to background maintenance). At 100 TB
+        # the per-commit upload is O(delta), not O(state); measured locally
+        # it cut the 4-metric stateful drain's summed commitTimeMs ~10x
+        # (stateOperators progress, BENCH/OPTIMIZATION_r07.md).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            os.environ.get("SPARK_ROCKSDB_CHANGELOG", "true"),
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

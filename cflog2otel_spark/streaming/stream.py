@@ -91,15 +91,36 @@ def run_streaming_pipeline(
     stream = read_tokenized_stream(spark, input_path)
     sinks = streaming_sinks(spark, cfg, stream, watermark)
     queries = []
-    for name, df in sinks.items():
-        safe = sink_dirname(name)
-        w = (
-            df.writeStream.foreachBatch(_window_overwrite_writer(f"{out_dir}/{safe}"))
-            .option("checkpointLocation", f"{checkpoint_dir}/{safe}")
-            .outputMode("update")
-        )
-        w = w.trigger(availableNow=True) if trigger_once else w.trigger(processingTime="30 seconds")
-        queries.append(w.start())
+    # availableNow drain: after the data batches, Spark appends a no-data
+    # micro-batch whose only job is advancing the watermark to evict state
+    # — in UPDATE mode it emits zero rows (eviction produces output only in
+    # append mode), yet it pays a full state-store load/commit cycle per
+    # partition per query (measured 1-10 s per query of the 4-metric
+    # drain). The drain's checkpoint dies with the run, so deferred
+    # eviction has no consumer; skip the batch. Long-running mode
+    # (trigger_once=False) keeps it: there the eviction bounds state
+    # growth between data batches. Safe to set-then-restore around
+    # start(): each query captures a cloned session at start.
+    no_data_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(no_data_key, None)
+    if trigger_once:
+        spark.conf.set(no_data_key, "false")
+    try:
+        for name, df in sinks.items():
+            safe = sink_dirname(name)
+            w = (
+                df.writeStream.foreachBatch(_window_overwrite_writer(f"{out_dir}/{safe}"))
+                .option("checkpointLocation", f"{checkpoint_dir}/{safe}")
+                .outputMode("update")
+            )
+            w = w.trigger(availableNow=True) if trigger_once else w.trigger(processingTime="30 seconds")
+            queries.append(w.start())
+    finally:
+        if trigger_once:
+            if prev is None:
+                spark.conf.unset(no_data_key)
+            else:
+                spark.conf.set(no_data_key, prev)
     return queries
 
 
@@ -134,17 +155,33 @@ def run_streaming_pipeline_single_pass(
     def process(batch_df, batch_id: int) -> None:
         parsed = enrich(decode_and_parse(batch_df, keep_payload=False))
         parsed.persist()
+
+        def write_metric(m) -> None:
+            safe = sink_dirname(m.name)
+            (
+                aggregate_metric(parsed, cfg, m)
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{out_dir}/{safe}")
+            )
+
         try:
-            for m in cfg.metrics:
-                safe = sink_dirname(m.name)
-                (
-                    aggregate_metric(parsed, cfg, m)
-                    .withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_batch_id")
-                    .parquet(f"{out_dir}/{safe}")
-                )
+            # the metric branches are independent jobs over the shared
+            # persisted projection — submit them concurrently so their
+            # shuffles/IO overlap instead of leaving cores idle between
+            # serial jobs, exactly like the batch write_sinks fan-out
+            # (pipeline.py: measured 1.6-1.8x there; the cache lock makes
+            # the projection materialize exactly once)
+            if len(cfg.metrics) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(len(cfg.metrics), 8)) as ex:
+                    list(ex.map(write_metric, cfg.metrics))
+            else:
+                for m in cfg.metrics:
+                    write_metric(m)
         finally:
             parsed.unpersist()
 
