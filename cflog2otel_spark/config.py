@@ -481,16 +481,24 @@ class Config:
         jsonnet subset with the cel/switch/env/must_env/json_escape/
         base64_encode natives registered."""
         if path.endswith(".json"):
-            with open(path) as fh:
-                try:
-                    return json.load(fh)
-                except json.JSONDecodeError as exc:
-                    raise ConfigError(f"{path}: invalid JSON: {exc}") from exc
+            try:
+                with open(path) as fh:
+                    try:
+                        return json.load(fh)
+                    except json.JSONDecodeError as exc:
+                        raise ConfigError(
+                            f"{path}: invalid JSON: {exc}"
+                        ) from exc
+            except OSError as exc:
+                raise ConfigError(f"{path}: {exc}") from exc
         from .jsonnet_min import JsonnetError, evaluate_file
 
         try:
             return evaluate_file(path)
-        except JsonnetError as exc:
+        except (JsonnetError, OSError) as exc:
+            # OSError: an unreadable/missing file is a config error, not a
+            # crash — the bare-invocation default (cflog2otel.jsonnet,
+            # main.go:45 parity) must fail with the error contract
             raise ConfigError(str(exc)) from exc
 
     @classmethod

@@ -1216,17 +1216,44 @@ def _std_sort(arr: Any, keyF: Any = None) -> list:
     return sorted(arr, key=key)
 
 
-def _std_uniq(arr: Any) -> list:
-    # jsonnet uniq removes CONSECUTIVE duplicates (use after sort)
+def _std_uniq(arr: Any, keyF: Any = None) -> list:
+    # jsonnet uniq removes CONSECUTIVE duplicates (use after sort);
+    # keyF compares projected keys, like go-jsonnet (ADVICE r6: keyF was
+    # accepted but silently ignored, deduping on raw equality)
+    key = (lambda x: _apply(keyF, [x])) if keyF is not None else (lambda x: x)
     out: list = []
+    last_key: Any = None
     for x in arr:
-        if not out or out[-1] != x:
+        k = key(x)
+        if not out or last_key != k:
             out.append(x)
+            last_key = k
     return out
 
 
 def _std_set(arr: Any, keyF: Any = None) -> list:
-    return _std_uniq(_std_sort(arr, keyF))
+    return _std_uniq(_std_sort(arr, keyF), keyF)
+
+
+def _std_set_member(x: Any, s: Any, keyF: Any = None) -> bool:
+    if keyF is None:
+        return x in s
+    kx = _apply(keyF, [x])
+    return any(_apply(keyF, [e]) == kx for e in s)
+
+
+def _std_set_inter(a: Any, b: Any, keyF: Any = None) -> list:
+    if keyF is None:
+        return _std_set([x for x in a if x in b], None)
+    bk = [_apply(keyF, [y]) for y in b]
+    return _std_set([x for x in a if _apply(keyF, [x]) in bk], keyF)
+
+
+def _std_set_diff(a: Any, b: Any, keyF: Any = None) -> list:
+    if keyF is None:
+        return _std_set([x for x in a if x not in b], None)
+    bk = [_apply(keyF, [y]) for y in b]
+    return _std_set([x for x in a if _apply(keyF, [x]) not in bk], keyF)
 
 
 def _std_prune(v: Any) -> Any:
@@ -1373,7 +1400,11 @@ _STD = {
         else "".join(_apply(fn, [c]) for c in arr)
     ),
     "sum": lambda arr: sum(arr),
-    "avg": lambda arr: sum(arr) / len(arr),
+    "avg": lambda arr: (
+        sum(arr) / len(arr)
+        if arr
+        else _raise(JsonnetError("std.avg: empty array"))
+    ),
     "all": lambda arr: all(arr) if all(
         isinstance(x, bool) for x in arr
     ) else _raise(JsonnetError("std.all requires an array of booleans")),
@@ -1388,14 +1419,12 @@ _STD = {
     "contains": lambda arr, x: x in arr,
     # sets: sorted duplicate-free arrays
     "set": _std_set,
-    "setMember": lambda x, s, keyF=None: x in s,
+    "setMember": _std_set_member,
+    # stable sort + keyF-aware uniq keep a's element for key ties, the
+    # go-jsonnet setUnion contract
     "setUnion": lambda a, b, keyF=None: _std_set(list(a) + list(b), keyF),
-    "setInter": lambda a, b, keyF=None: _std_set(
-        [x for x in a if x in b], keyF
-    ),
-    "setDiff": lambda a, b, keyF=None: _std_set(
-        [x for x in a if x not in b], keyF
-    ),
+    "setInter": _std_set_inter,
+    "setDiff": _std_set_diff,
     # strings (cont.)
     "char": lambda n: chr(int(n)),
     "codepoint": lambda s: ord(s),

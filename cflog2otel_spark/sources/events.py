@@ -151,11 +151,16 @@ def dummy_s3_notification(s3_url: str) -> str:
     import datetime
     import json as _json
     import os
-    from urllib.parse import urlsplit
+    from urllib.parse import unquote, urlsplit
 
     u = urlsplit(s3_url)
     if u.scheme != "s3":
         raise ValueError("invalid s3 url")
+    # Go url.Parse percent-decodes Path/Host before the reference trims the
+    # prefix (main.go:153-185); urlsplit leaves %XX verbatim, so an encoded
+    # URL would target a different object key (ADVICE r6)
+    bucket = unquote(u.netloc)
+    key = unquote(u.path).lstrip("/")
     now = datetime.datetime.now(datetime.timezone.utc)
     return _json.dumps({
         "Records": [{
@@ -168,11 +173,11 @@ def dummy_s3_notification(s3_url: str) -> str:
                 "s3SchemaVersion": "1.0",
                 "configurationId": "testConfigRule",
                 "bucket": {
-                    "name": u.netloc,
-                    "arn": f"arn:aws:s3:::{u.netloc}",
+                    "name": bucket,
+                    "arn": f"arn:aws:s3:::{bucket}",
                 },
                 "object": {
-                    "key": u.path.lstrip("/"),
+                    "key": key,
                     "size": 1024,
                     "eTag": "0123456789abcdef0123456789abcdef",
                     "versionId": "096fKKXTRTtl3on89fVO.nfljtsv6qko",

@@ -49,9 +49,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(description="CloudFront-log -> OTel-metrics Spark pipeline")
     ap.add_argument(
         "--config",
-        default=_env_default("CONFIG"),
-        help="metric config (jsonnet or JSON); required except with "
-        "--corpus-pipeline ($CONFIG)",
+        # the reference defaults -config to "cflog2otel.jsonnet"
+        # (cmd/cflog2otel/main.go:45); explicit flag > $CONFIG > default
+        default=_env_default("CONFIG", "cflog2otel.jsonnet"),
+        help="metric config (jsonnet or JSON); default cflog2otel.jsonnet, "
+        "not needed with --corpus-pipeline ($CONFIG)",
     )
     ap.add_argument(
         "--log-level",

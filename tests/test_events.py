@@ -259,3 +259,16 @@ def test_env_to_flag_fallback(monkeypatch):
     # explicit flag beats the environment
     args = main_mod.parse_args(["--log-level", "debug"])
     assert args.log_level == "debug"
+
+
+def test_dummy_s3_notification_percent_decodes_url():
+    """ADVICE r6: Go url.Parse percent-decodes the path before the
+    reference trims it, so s3://b/a%2Bb.gz must target key 'a+b.gz'."""
+    import json
+
+    from cflog2otel_spark.sources.events import dummy_s3_notification
+
+    ev = json.loads(dummy_s3_notification("s3://my%2Dbucket/logs/a%2Bb%20c.gz"))
+    rec = ev["Records"][0]["s3"]
+    assert rec["object"]["key"] == "logs/a+b c.gz"
+    assert rec["bucket"]["name"] == "my-bucket"

@@ -626,3 +626,40 @@ def test_reference_production_example_loads(monkeypatch):
     keys = [a.key for a in cfg.resource_attributes]
     assert keys == ["service.name", "aws.cloudfront.distribution_id"]
     assert cfg.resource_attributes[1].value.sql == "distribution_id"
+
+
+def test_set_ops_thread_keyF(monkeypatch):
+    """ADVICE r6: keyF was accepted but silently ignored by the set-family
+    dedup/membership — go-jsonnet compares the PROJECTED keys."""
+    cases = [
+        ("std.set([{k: 1, v: 'a'}, {k: 1, v: 'b'}], function(x) x.k)",
+         [{"k": 1, "v": "a"}]),
+        ("std.setMember({k: 1, v: 'zzz'}, [{k: 1, v: 'a'}], function(x) x.k)",
+         True),
+        ("std.setMember({k: 9, v: 'a'}, [{k: 1, v: 'a'}], function(x) x.k)",
+         False),
+        ("std.setInter([{k: 1, v: 'a'}, {k: 2, v: 'b'}], [{k: 2, v: 'x'}], "
+         "function(x) x.k)", [{"k": 2, "v": "b"}]),
+        ("std.setDiff([{k: 1, v: 'a'}, {k: 2, v: 'b'}], [{k: 2, v: 'x'}], "
+         "function(x) x.k)", [{"k": 1, "v": "a"}]),
+        # setUnion keeps the FIRST argument's element on key ties
+        ("std.setUnion([{k: 1, v: 'a'}], [{k: 1, v: 'B'}, {k: 3, v: 'c'}], "
+         "function(x) x.k)", [{"k": 1, "v": "a"}, {"k": 3, "v": "c"}]),
+        ("std.uniq([{k: 1, v: 'a'}, {k: 1, v: 'b'}, {k: 2, v: 'c'}], "
+         "function(x) x.k)", [{"k": 1, "v": "a"}, {"k": 2, "v": "c"}]),
+        # no keyF: raw-equality behavior unchanged
+        ("std.set([3, 1, 3, 2])", [1, 2, 3]),
+        ("std.setMember(2, [1, 2, 3])", True),
+    ]
+    for src, want in cases:
+        assert evaluate(src) == want, src
+
+
+def test_avg_empty_array_is_jsonnet_error():
+    """ADVICE r6: std.avg([]) surfaced a raw ZeroDivisionError instead of
+    the evaluator's error contract (go-jsonnet raises a runtime error)."""
+    import pytest
+
+    with pytest.raises(JsonnetError, match="empty array"):
+        evaluate("std.avg([])")
+    assert evaluate("std.avg([1, 2, 3])") == 2
