@@ -85,11 +85,68 @@ def run_streaming_pipeline(
     end-of-stream, whereas update emits every revised window and the
     overwrite keeps re-emission idempotent.
 
+    Scan topology (r7): the N per-metric queries used to each decode+parse
+    the raw token stream — N full passes over the most expensive per-row
+    expression in the engine for one metric's worth of columns each
+    (guide §8's anti-pattern: heavy bytes decoded once per decision).
+    Now a PARSE TEE runs first: one stateless query decodes/parses each
+    micro-batch once and appends the pruned parsed projection (only the
+    columns some metric expression references — the same rule as the
+    batch cache) to a parquet staging dir under the checkpoint; the
+    per-metric stateful aggregations then stream from that staging dir —
+    cheap columnar scans with per-metric column pruning instead of N
+    repeated decodes. The staging dir lives and dies with the checkpoint,
+    so restart/resume semantics are unchanged: the tee's file-sink
+    metadata log gives the downstream file source exactly-once file
+    visibility, each metric keeps its own checkpoint and state, and a
+    restarted run parses only new input files and aggregates only new
+    staged files.
+
     trigger_once=True (availableNow) drains the backlog and stops — the
     batch-equivalent mode matching the reference's
-    one-invocation-per-notification model."""
+    one-invocation-per-notification model. In this mode the tee is
+    awaited inside this call before the aggregations start (they must see
+    the full staged backlog) and only the per-metric queries are
+    returned. With trigger_once=False all queries run continuously and
+    the tee is returned first in the list (costs one extra trigger of
+    sink latency)."""
+    import os
+
+    from ..pipeline import _referenced_columns
+
     stream = read_tokenized_stream(spark, input_path)
-    sinks = streaming_sinks(spark, cfg, stream, watermark)
+    parsed = enrich(decode_and_parse(stream, keep_payload=False))
+    needed = _referenced_columns(cfg)
+    keep = [c for c in parsed.columns if c in needed or c == "timestamp"]
+    parsed = parsed.select(*dict.fromkeys(keep))
+
+    staging = f"{checkpoint_dir}/parsed_staging"
+    data_dir = f"{staging}/data"
+    if "://" not in data_dir:
+        # a zero-input availableNow drain never creates the sink path, but
+        # the downstream file source requires the directory to exist
+        os.makedirs(data_dir, exist_ok=True)
+    tee_w = (
+        parsed.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", f"{staging}/ck")
+        .outputMode("append")
+    )
+    tee_w = (
+        tee_w.trigger(availableNow=True)
+        if trigger_once
+        else tee_w.trigger(processingTime="30 seconds")
+    )
+    tee = tee_w.start()
+    if trigger_once:
+        tee.awaitTermination()
+
+    parsed_stream = (
+        spark.readStream.schema(parsed.schema)
+        .parquet(data_dir)
+        .withWatermark("timestamp", watermark)
+    )
+    sinks = {m.name: aggregate_metric(parsed_stream, cfg, m) for m in cfg.metrics}
     queries = []
     # availableNow drain: after the data batches, Spark appends a no-data
     # micro-batch whose only job is advancing the watermark to evict state
@@ -121,7 +178,7 @@ def run_streaming_pipeline(
                 spark.conf.unset(no_data_key)
             else:
                 spark.conf.set(no_data_key, prev)
-    return queries
+    return queries if trigger_once else [tee, *queries]
 
 
 def run_streaming_pipeline_single_pass(

@@ -37,6 +37,35 @@ def test_streaming_matches_batch(spark, cf_fixture_df, tmp_path):
     }
 
 
+def test_stateful_drain_parses_once_via_tee(spark, cf_fixture_df, tmp_path):
+    """r7 stateful-drain rework: ONE stateless parse tee decodes each
+    micro-batch and appends the pruned parsed projection to a staging dir
+    under the checkpoint; every per-metric stateful query consumes the
+    staged columnar files instead of re-decoding the raw token stream."""
+    from cflog2otel_spark.streaming.stream import run_streaming_pipeline
+
+    inp = str(tmp_path / "in")
+    cf_fixture_df.write.parquet(inp)
+    cfg = Config.load(f"{CONFIGS}/request_count_by_status_category.json")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    queries = run_streaming_pipeline(spark, cfg, inp, out, ck)
+    for q in queries:
+        assert q.awaitTermination(120), "streaming query timed out (120s)"
+
+    # staging holds one parsed row per input row, pruned to the columns
+    # some metric expression references (+ timestamp) — never the payload
+    staged = spark.read.parquet(f"{ck}/parsed_staging/data")
+    assert staged.count() == cf_fixture_df.count()
+    cols = set(staged.columns)
+    assert "timestamp" in cols
+    assert "tokens" not in cols and "doc_id" not in cols and "n_tok" not in cols
+
+    # the aggregation queries sourced the staged files, not the raw stream
+    for q in queries:
+        desc = q.lastProgress["sources"][0]["description"]
+        assert "parsed_staging" in desc, desc
+
+
 def test_streaming_single_pass_matches_batch(spark, cf_fixture_df, tmp_path):
     """Single-scan foreachBatch fan-out: every metric sink derives from ONE
     decode/parse per micro-batch; summing the per-batch delta rows per
